@@ -1,0 +1,177 @@
+"""IO layer: explicit schemas + readers/writers.
+
+The reference re-infers its schema on every CSV read
+(transformation_pipeline.py:40 — ``pd.read_csv`` with no dtype=) and uses CSV
+as the only on-disk format (SURVEY.md §1.1). At scale both are wrong:
+inference is an extra full pass and nondeterministic; CSV is row-oriented,
+schema-less and unsplittable when compressed. The engine declares every
+schema as an explicit StructType and defaults to Parquet (columnar,
+schema-carrying, predicate-pushdown + column-pruning capable); CSV remains
+an edge format for parity with the reference (extract_pipeline.py:89).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ---------------------------------------------------------------------------
+# Testdata schemas (TESTDATA.md / FIXTURES.md §B) — declared, never inferred.
+# ---------------------------------------------------------------------------
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(TESTDATA_SCHEMAS)
+
+# books_raw: mirrors the reference scraper output (extract_pipeline.py:36-51),
+# exact column names the reference writes to books.csv, dirty types as scraped.
+BOOKS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("Title", T.StringType()),
+        T.StructField("Description", T.StringType()),  # nullable, mojibake-prone
+        T.StructField("Category", T.StringType()),
+        T.StructField("Image_link", T.StringType()),
+        T.StructField("Is_in_Stock", T.BooleanType()),
+        T.StructField("No_of_books_in_Stock", T.IntegerType()),
+        T.StructField("Rating", T.IntegerType()),
+        T.StructField("UPC", T.StringType()),
+        T.StructField("Product Type", T.StringType()),
+        T.StructField("Price (excl. tax)", T.StringType()),  # dirty currency text
+        T.StructField("Price (incl. tax)", T.StringType()),
+        T.StructField("Tax", T.StringType()),
+        T.StructField("Number of reviews", T.StringType()),
+    ]
+)
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one testdata parquet table (S7). Parquet gives the vectorized
+    reader, column pruning and predicate pushdown for free — the scan the
+    reference never had (it re-reads a full CSV, transformation_pipeline.py:40)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: read_table(spark, name, sf_dir) for name in TABLES}
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV scan with an explicit schema (S6) — replaces the reference's
+    inferring ``pd.read_csv`` (transformation_pipeline.py:40). No inference
+    pass, deterministic types at any scale."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (S5) — parity with the reference's ``df.to_csv``
+    (extract_pipeline.py:89; transformation_pipeline.py:66-117).
+    ``single_file`` coalesces to 1 partition for small dims only; the
+    default keeps one file per partition (the scale path)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink — the engine's default interchange format. Optional
+    ``partition_by`` enables static + dynamic partition pruning downstream
+    (SURVEY.md §4.2 'partition pruning')."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,107 @@
+"""Star-schema builder (SURVEY.md §2.4-2.5: D1-D3, J1-J4).
+
+The reference's core deliverable: 4 dimension tables built by
+drop_duplicates + index-as-id (transformation_pipeline.py:72-93) and a
+fact table built by 4 chained pandas merges (:96-99) projected to 12
+columns (:102-115).
+
+Spark-first design decisions (vs the pandas original):
+
+- **Surrogate keys** (D3): the reference's ``reset_index()+1`` ids depend
+  on first-occurrence input order — meaningless under parallelism. We
+  assign ``row_number() OVER (ORDER BY natural_key)``: dense, 1-based,
+  deterministic, reproducible. Ids are opaque; the preserved invariant is
+  referential integrity (every fact row joins back to exactly one dim
+  row). ``monotonically_increasing_id`` rejected — non-dense, partition-
+  dependent.
+- **Dim builds shuffle once** (the distinct) and are tiny relative to the
+  fact; at 100 TB the fact side never shuffles for the join because every
+  dim is **broadcast** (J1-J3). A dim too big to broadcast would fall
+  back to sort-merge automatically via AQE.
+- **Null-safe key join** (J4): pd.cut can emit null bins
+  (transformation_pipeline.py:60) and pandas merge matches NaN == NaN
+  (:99). Spark's ``=`` drops null keys, so the stock-tier join uses
+  ``eqNullSafe`` — semantic parity, not a perf choice.
+- The window in the surrogate-key assignment is unpartitioned — a global
+  sort. That is correct here because dims are small *by construction*
+  (distinct of a low-cardinality key). For a high-cardinality dim, switch
+  to zipWithIndex-style per-partition offsets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFrame:
+    """D1/D2 (distinct) + D3 (surrogate key) in one plan.
+
+    distinct() matches pandas drop_duplicates (nulls compare equal in
+    both); row_number over the natural-key order gives dense 1-based ids
+    (transformation_pipeline.py:72-93 analogue, determinism fixed).
+    """
+    cols = list(natural_key)
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
+    return (
+        df.select(*cols)
+        .distinct()
+        .withColumn(id_col, F.row_number().over(w).cast("int"))
+        .select(id_col, *cols)
+    )
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    null_safe: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """J1-J4 — inner equi-join of the fact against one dim.
+
+    ``broadcast=True`` pins a broadcast-hash join (dims are small by
+    construction; belt-and-braces on top of AQE). ``null_safe=True``
+    switches every key predicate to ``eqNullSafe`` for pandas
+    NaN-matches-NaN parity (J4, transformation_pipeline.py:99).
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    if not null_safe:
+        return fact.join(d, on=list(on), how="inner")
+    cond = None
+    for c in on:
+        pred = fact[c].eqNullSafe(d[c])
+        cond = pred if cond is None else cond & pred
+    joined = fact.join(d, cond, "inner")
+    # drop the dim-side duplicate key columns, keep fact side
+    for c in on:
+        joined = joined.drop(d[c])
+    return joined
+
+
+def build_star(
+    cleaned: DataFrame,
+    dim_specs: dict[str, tuple[Sequence[str], str]],
+    measures: Sequence[str],
+    null_safe_dims: Sequence[str] = (),
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Build all dims then the fact in one composed plan.
+
+    ``dim_specs``: dim name -> (natural key cols, id col name).
+    ``measures``: fact-side columns carried into the fact table.
+    Returns (dims, fact). Fact = cleaned joined to every dim (broadcast),
+    projected to ids + measures — the projection is pushed below the
+    joins by Catalyst (column pruning), unlike the reference which
+    carries all columns through 4 merges (SURVEY.md §4.1).
+    """
+    dims: dict[str, DataFrame] = {}
+    fact = cleaned
+    for name, (natural_key, id_col) in dim_specs.items():
+        dim = build_dim(cleaned, natural_key, id_col)
+        dims[name] = dim
+        fact = join_dim(fact, dim, natural_key, null_safe=name in null_safe_dims)
+    id_cols = [id_col for (_, id_col) in dim_specs.values()]
+    fact = fact.select(*id_cols, *measures)
+    return dims, fact
