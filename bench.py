@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is forced end-to-end with the
+noop sink (full computation, no driver collect cost). Prints:
+  {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from books2scrape_etl_spark.queries import QUERIES  # noqa: E402
+from books2scrape_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship",
+    "join_fact",
+    "join_sortmerge",
+    "agg_summary",
+    "agg_groupby",
+    "bin_quantile",
+    "window_rank",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_cosine",
+    "text_stats",
+    "stream_tumbling",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    # warm the JVM/codegen paths so per-query numbers measure the queries
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

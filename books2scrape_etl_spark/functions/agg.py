@@ -19,9 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from books2scrape_etl_spark.functions.util import to_col
+
 
 def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+    return to_col(col)
 
 
 def sum_exact(col: Column | str, scale: int = 2, precision: int = 18) -> Column:

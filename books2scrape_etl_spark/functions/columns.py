@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from books2scrape_etl_spark.functions.util import to_col
+
 RATING_WORDS = {"One": 1, "Two": 2, "Three": 3, "Four": 4, "Five": 5}
 
 
@@ -18,11 +20,12 @@ def clean_currency(col: Column | str) -> Column:
 
     Reference: transformation_pipeline.py:5-11 (regex ``[^\\d.]`` strip +
     ``float()``), applied at :43-45 to 'Â£51.77'-style values. Pure
-    Catalyst: regexp_replace + cast; empty string casts to null, matching
-    the reference's ValueError -> None path.
+    Catalyst: regexp_replace + try_cast; unparseable text (e.g. empty
+    after stripping) becomes null — the reference's ValueError -> None
+    path, and ANSI-mode-safe (Spark 4 ``cast`` throws on '').
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c.cast("string"), r"[^0-9.]", "").cast("double")
+    c = to_col(col)
+    return F.regexp_replace(c.cast("string"), r"[^0-9.]", "").try_cast("double")
 
 
 def clean_description_suffix(col: Column | str) -> Column:
@@ -32,7 +35,7 @@ def clean_description_suffix(col: Column | str) -> Column:
     repair half (:22-23) is byte-level and lives in
     :func:`mojibake_fix_udf` — only that part needs Python.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     no_null = F.coalesce(c, F.lit(""))
     return F.regexp_replace(no_null, r" \.\.\.more$", "")
 
@@ -68,8 +71,8 @@ def inventory_value(price: Column | str, stock: Column | str) -> Column:
     Reference: ``Inventory Value = Price(excl) * No_in_Stock``
     (transformation_pipeline.py:51).
     """
-    p = F.col(price) if isinstance(price, str) else price
-    s = F.col(stock) if isinstance(stock, str) else stock
+    p = to_col(price)
+    s = to_col(stock)
     return p * s
 
 
@@ -79,7 +82,7 @@ def to_binary_flag(col: Column | str) -> Column:
     Reference: ``1 if x == True else 0`` (transformation_pipeline.py:54).
     Note the reference maps null -> 0 too (``None == True`` is False).
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     return F.when(c == F.lit(True), 1).otherwise(0)
 
 
@@ -90,7 +93,7 @@ def rating_ordinal(col: Column | str) -> Column:
     (extract_pipeline.py:92-94). Chained CASE keeps it codegen'd; a 5-row
     broadcast mapping table would also work but is overkill.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     expr = F.lit(0)
     # build CASE word-by-word; when() chains left-to-right
     out = None
@@ -104,7 +107,7 @@ def rewrite_relative_url(col: Column | str, prefix: str) -> Column:
 
     Reference: extract_pipeline.py:13,69.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     return F.concat(F.lit(prefix), F.replace(c, F.lit("../"), F.lit("")))
 
 
@@ -114,7 +117,7 @@ def in_stock_flag(col: Column | str) -> Column:
     Reference: ``"In stock" in text.split('(')[0]``
     (extract_pipeline.py:29,32).
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     return F.contains(F.split_part(c, F.lit("("), F.lit(1)), F.lit("In stock"))
 
 
@@ -122,14 +125,14 @@ def extract_available_int(col: Column | str) -> Column:
     """P10 — parse the int out of '... (N available)'.
 
     Reference: extract_pipeline.py:30,33. regexp_extract returns '' on
-    no-match, which casts to null — the sane distributed analogue of the
-    reference's unguarded IndexError.
+    no-match, which try_casts to null — the sane distributed analogue of
+    the reference's unguarded IndexError (plain cast throws under ANSI).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"\((\d+) available\)", 1).cast("int")
+    c = to_col(col)
+    return F.regexp_extract(c, r"\((\d+) available\)", 1).try_cast("int")
 
 
 def coalesce_default(col: Column | str, default: str = "No description available") -> Column:
     """P11 — null-default scalar (extract_pipeline.py:10-11)."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     return F.coalesce(c, F.lit(default))

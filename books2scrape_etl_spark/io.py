@@ -143,8 +143,20 @@ BOOKS_RAW_SCHEMA = T.StructType(
 def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one testdata parquet table (S7). Parquet gives the vectorized
     reader, column pruning and predicate pushdown for free — the scan the
-    reference never had (it re-reads a full CSV, transformation_pipeline.py:40)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    reference never had (it re-reads a full CSV, transformation_pipeline.py:40).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark rejects
+    (PARQUET_TYPE_ILLEGAL) — read it as raw nanos via the legacy conf and
+    rebuild a TimestampType column by truncating to micros (exactly what
+    engines with micros-precision timestamps, e.g. DuckDB, do on read)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(path)
 
 
 def read_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

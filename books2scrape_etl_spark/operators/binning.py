@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from books2scrape_etl_spark.functions.util import to_col
+
 
 def bin_fixed(
     col: Column | str,
@@ -33,7 +35,7 @@ def bin_fixed(
     """
     if len(labels) != len(edges) - 1:
         raise ValueError("need len(labels) == len(edges) - 1")
-    c = F.col(col) if isinstance(col, str) else col
+    c = to_col(col)
     out = None
     for lo, hi, label in zip(edges, edges[1:], labels):
         if right:
@@ -64,7 +66,7 @@ def bin_quantile_exact(
     fine at test SF, wrong at 100 TB. Use :func:`bin_quantile_approx`
     there.
     """
-    order = [F.col(col).asc(), *[F.col(t).asc() for t in tiebreak]]
+    order = [to_col(col).asc(), *[to_col(t).asc() for t in tiebreak]]
     w = Window.orderBy(*order)
     n = len(labels)
     tile = F.ntile(n).over(w)

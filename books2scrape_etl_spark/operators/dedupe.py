@@ -1,0 +1,271 @@
+"""Deduplication operators (SURVEY.md §2.11 L1-L2) — exact, MinHash-LSH,
+SimHash, and n-gram Jaccard, over the ``documents`` table.
+
+Scale design notes (the part that matters at 100 TB):
+
+- **Exact dedup** groups on a fingerprint hash, not the raw text — the
+  shuffle moves 32-byte keys + doc ids, never documents. Survivor
+  choice is ``min(doc_id)``: deterministic under any partitioning
+  (``dropDuplicates`` keeps an arbitrary row and is not reproducible).
+- **MinHash**: shingle -> K independent min-hashes -> B bands of R rows
+  (K = B*R). Candidate pairs come from an equi-join on (band, band
+  signature) — a hash-partitioned self-join on small keys; the full
+  O(n^2) similarity matrix never materializes. Verification re-checks
+  Jaccard on the candidates only. Survivor rule: a doc is a duplicate
+  if ANY candidate neighbor with smaller doc_id passes the threshold —
+  one broadcast-free aggregation, no iterative connected components
+  (documented tradeoff: CC-exact grouping needs an iterative join
+  loop; the any-smaller-neighbor rule is a single pass and removes a
+  superset of what keep-one-per-component removes on chains).
+- **SimHash**: 64-bit signature from per-token md5 bit-votes; near-dups
+  = equal 16-bit bands (hamming-adjacent buckets), same join shape as
+  MinHash bands.
+- Hash choices: md5 where cross-engine portability matters (exact-dedup
+  fingerprints, SimHash — the oracle can replicate md5), native
+  ``xxhash64`` for MinHash seeds (rows-only operator; the md5-based
+  formulation blew up generated-code size, see minhash_signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.util import to_col
+
+from books2scrape_etl_spark.operators.text import normalize_for_fingerprint
+
+
+def _words(col: Column | str) -> Column:
+    c = to_col(col)
+    return F.split(normalize_for_fingerprint(c), r" ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (higher-order
+    functions only — codegen'd, per row, no Python).
+
+    Construction matters: built by zipping n *shifted* copies of the
+    word array, so the normalize+split expression is referenced n times
+    per row. (The index-based ``transform(sequence(...), i ->
+    slice(words, i, n))`` form inlines the full normalize+split into
+    every lambda element after Catalyst's CollapseProject — O(words)
+    regex evaluations per row, which profiled ~25 ms/doc.)
+
+    Documents with fewer than n words yield an empty shingle set.
+    """
+    words = _words(col)
+    grams = shifted_ngrams(words, n)
+    return F.array_distinct(grams)
+
+
+def shifted_ngrams(arr: Column, n: int, sep: str = " ") -> Column:
+    """n-grams of an array via zip of n shifted copies; tail positions
+    (which run past the end) zip with null, concat to null, and are
+    filtered out. References ``arr`` exactly n times."""
+    grams = arr
+    for k in range(1, n):
+        shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, w: F.concat(g, F.lit(sep), w))
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """K min-hash values as an array<long> — array_min over the seeded
+    hash of every shingle, K times. K passes over an in-memory array per
+    row; no shuffle.
+
+    Hashing is Spark's native ``xxhash64`` with the seed mixed in as a
+    first argument: tiny codegen footprint and JVM-speed. (An earlier
+    md5+conv formulation produced a generated-code blowup — K copies of
+    a 5-function expression per array element stalled Janino compilation
+    for minutes. Deterministic across runs/versions either way;
+    cross-engine portability is not needed for a rows-only operator.)
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L1 — exact dedup on the normalized-text fingerprint.
+
+    Returns one row per distinct content: (doc_id = survivor, fp,
+    n_copies). Shuffle payload is (fp, doc_id) only.
+    """
+    from books2scrape_etl_spark.operators.text import fingerprint
+
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "fp", "n_copies")
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 8,
+    rows: int = 2,
+    shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band, band_sig): LSH bucketing table. Docs sharing
+    (band, band_sig) are candidate near-duplicates.
+
+    Pass a (persisted) ``shingles_df`` (doc_id, shingles) to keep the
+    normalize/shingle pipeline from being re-inlined into the K hash
+    transforms — at scale this staging table is the natural checkpoint
+    (write once, reuse for banding AND verification)."""
+    k = bands * rows
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles"))
+    )
+    sig_df = sh.select("doc_id", minhash_signature(F.col("shingles"), k).alias("sig"))
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    return (
+        sig_df.select("doc_id", F.explode(band_ids).alias("band"), "sig")
+        .select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                "_", F.slice(F.col("sig"), F.col("band") * rows + 1, rows).cast("array<string>")
+            ).alias("band_sig"),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two string arrays (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    bands: int = 8,
+    rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """L2 — near-dup removal. Returns surviving (doc_id, text).
+
+    candidates = self-join on LSH band buckets (id_small < id_big);
+    verified = exact Jaccard on shingle sets >= threshold;
+    survivors = docs with NO verified neighbor of smaller doc_id.
+    """
+    # persist the shingle staging table: reused by the K hash transforms
+    # AND the Jaccard verification; without it the normalize+shingle
+    # expression re-inlines into every consumer
+    sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
+    # persist the bands table: it feeds both sides of the self-join
+    b = minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh).persist()
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return docs.join(verified, docs["doc_id"] == verified["id_b"], "left_anti")
+
+
+def _simhash_batch(s):
+    """Vectorized 60-bit SimHash kernel: per-shingle md5 -> bit votes ->
+    majority sign. numpy bit-unpacking keeps the Python crossing to one
+    Arrow batch; deterministic (md5) across runs and engines."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def one(shingles):
+        if shingles is None or len(shingles) == 0:
+            return 0
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 4
+                for g in shingles
+            ],
+            dtype=np.uint64,
+        )
+        bits = (hs[:, None] >> np.arange(60, dtype=np.uint64)[None, :]) & np.uint64(1)
+        votes = 2 * bits.sum(axis=0) - len(hs)  # +1/-1 majority
+        sig = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(j)
+        return int(sig)
+
+    return s.map(one)
+
+
+def simhash64(col: Column | str, shingle_n: int = 2) -> Column:
+    """60-bit SimHash of the word-shingle set.
+
+    The shingling stays Catalyst-side (codegen'd array ops); the bit
+    arithmetic is one Arrow-batched pandas UDF — a deliberate slow-path
+    call: the pure-expression formulation (60 aggregate() nodes over the
+    hash array) generated megabytes of Janino code and compiled for
+    minutes, while the vectorized kernel is a few numpy ops per batch.
+    """
+    fn = F.pandas_udf(_simhash_batch, "long")
+    return fn(word_shingles(col, shingle_n))
+
+
+def simhash_bands(docs: DataFrame, text_col: str = "text", band_bits: int = 15) -> DataFrame:
+    """(doc_id, band, band_val) for hamming-bucket candidate join: docs
+    within hamming distance < n_bands share at least one band value."""
+    sig = simhash64(text_col)
+    # persist: each band projection below reads the signature; without it
+    # the pandas-UDF signature kernel runs once per band
+    df = docs.select("doc_id", sig.alias("simhash")).persist()
+    n_bands = 60 // band_bits
+    out = None
+    for band in range(n_bands):
+        part = df.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("band_val"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit (id_a, id_b) pair list —
+    the verification kernel shared by the LSH paths, usable standalone
+    when candidates come from elsewhere (same-source, same-length-bucket)."""
+    sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+    )

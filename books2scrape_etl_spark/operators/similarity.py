@@ -1,0 +1,177 @@
+"""Similarity search over embeddings (SURVEY.md §2.11 L3/L6).
+
+``embeddings.embedding`` is array<float> (dim 64). All kernels use
+higher-order functions with **double** accumulation in index order —
+deterministic, engine-portable, no UDF, no Python crossing.
+
+Scale design:
+
+- **Brute-force top-k** is the correctness baseline: |Q| query vectors
+  broadcast against N stored vectors -> per-row cosine -> per-query
+  top-k via window. Cost O(|Q| * N * d) but embarrassingly parallel and
+  shuffle-free until the tiny top-k exchange. Right answer for small
+  |Q| even at huge N.
+- **LSH-bucketed ANN** (random-hyperplane signs) is the scale path:
+  vectors hash to sign-pattern buckets; queries probe only their own
+  bucket -> candidate set shrinks by ~2^bits; the equi-join on bucket
+  replaces the cross product. Hyperplanes are deterministic
+  (md5-seeded) so results are reproducible run to run.
+- **IVF-style variant**: coarse centroids via k-means would need
+  spark.ml fitting; the LSH variant gives the same join shape without a
+  training step, so it is the one shipped here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, double accumulation, index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def embed_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L6 — per-vector norm / mean / dim, one codegen'd projection."""
+    v = F.col(vec_col)
+    d = F.size(v)
+    return emb.select(
+        "vec_id",
+        d.alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double")) / d.cast("double"),
+            6,
+        ).alias("mean_val"),
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L3 baseline — exact cosine top-k neighbors per query vector.
+
+    ``queries``: (q_id, q_vec). The query side is broadcast (small by
+    contract); the big side streams through a single projection; the
+    only shuffle is the per-query top-k window over |Q| * N candidate
+    rows pre-filtered to k per partition by Catalyst's window top-k
+    (rank pushdown in AQE) — and ties break on vec_id for determinism.
+    """
+    cand = emb.join(F.broadcast(queries), emb["vec_id"] != queries["q_id"])
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from md5 bytes —
+    reproducible across runs/engines without RNG state."""
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"plane:{seed}:{i}".encode()).digest()
+        for j in range(0, 16, 2):
+            if len(vals) >= dim:
+                break
+            u = int.from_bytes(h[j : j + 2], "big") / 65535.0  # [0,1]
+            vals.append(2.0 * u - 1.0)
+        i += 1
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket(vec_col: Column, dim: int, bits: int = 8) -> Column:
+    """Random-hyperplane sign bucket id (0 .. 2^bits - 1)."""
+    bucket = F.lit(0)
+    for b in range(bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
+        sign = F.when(dot(vec_col, plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bucket + sign
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+) -> DataFrame:
+    """L3 scale path — ANN top-k probing only the query's LSH bucket.
+
+    Same output shape as :func:`brute_force_topk`; recall < 1.0 by
+    construction (single-probe). The cross product becomes an equi-join
+    on ``bucket`` — at 1000 executors this is a plain hash-partitioned
+    join on a low-cardinality key, with AQE handling bucket skew.
+    """
+    e = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, bits))
+    q = queries.withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits))
+    cand = e.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: LSH-bucket self-join ->
+    cosine >= threshold -> drop the larger vec_id (same survivor rule
+    as operators.dedupe). Returns surviving rows."""
+    # persist: the bucketed table feeds both sides of the self-join (the
+    # bucket expression is `bits` dot products per row — compute once)
+    e = emb.select("vec_id", vec_col).withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), dim, bits)
+    ).persist()
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col(vec_col).alias("v_a"), F.col("bucket")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col(vec_col).alias("v_b"), F.col("bucket")
+    )
+    dupes = (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return emb.join(dupes, emb["vec_id"] == dupes["id_b"], "left_anti")

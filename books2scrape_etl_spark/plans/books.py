@@ -63,7 +63,7 @@ def clean_books(raw: DataFrame) -> DataFrame:
         .withColumn("Tax", clean_currency("Tax"))  # P1 (:45)
         .withColumn("Description", clean_description_full("Description"))  # P2 (:48)
         .withColumn(
-            "Inventory Value", inventory_value(F.col(PRICE_EXCL), "No_of_books_in_Stock")
+            "Inventory Value", inventory_value(PRICE_EXCL, "No_of_books_in_Stock")
         )  # P3 (:51)
         .withColumn("In_Stock_Binary", to_binary_flag("Is_in_Stock"))  # P4 (:54)
         .drop("Is_in_Stock")  # P5 (:55)

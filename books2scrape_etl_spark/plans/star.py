@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from books2scrape_etl_spark.functions.util import to_col
+
 
 def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFrame:
     """D1/D2 (distinct) + D3 (surrogate key) in one plan.
@@ -44,9 +46,9 @@ def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFra
     (transformation_pipeline.py:72-93 analogue, determinism fixed).
     """
     cols = list(natural_key)
-    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
+    w = Window.orderBy(*[to_col(c).asc_nulls_first() for c in cols])
     return (
-        df.select(*cols)
+        df.select(*[to_col(c).alias(c) for c in cols])
         .distinct()
         .withColumn(id_col, F.row_number().over(w).cast("int"))
         .select(id_col, *cols)
@@ -103,5 +105,5 @@ def build_star(
         dims[name] = dim
         fact = join_dim(fact, dim, natural_key, null_safe=name in null_safe_dims)
     id_cols = [id_col for (_, id_col) in dim_specs.values()]
-    fact = fact.select(*id_cols, *measures)
+    fact = fact.select(*id_cols, *[to_col(m).alias(m) for m in measures])
     return dims, fact

@@ -1,0 +1,172 @@
+"""Streaming operators T1-T6 (SURVEY.md §2.9).
+
+The reference's only streaming construct is a 10-minute full recompute
+under Airflow (airflow.py:31,35). Here:
+
+- T1: the recompute becomes a Structured Streaming job with
+  ``availableNow`` (drain-and-stop) or ``processingTime`` triggers.
+- T2/T3: tumbling / session windows over ``events.ts``. Each has a
+  **batch-equivalent** form (same F.window / F.session_window
+  expressions on a static DataFrame) — those are the oracle-checkable
+  semantics — plus the streaming wrapper.
+- T4: watermark + late-data drop; T5: streaming dedup within the
+  watermark; T6: arbitrary stateful per-key processing
+  (applyInPandasWithState).
+
+Scale notes: windowed aggregations shuffle on (window, key) — state
+store size is bounded by watermark horizon x key cardinality;
+``spark.sql.shuffle.partitions`` fixes streaming state partition count
+at first run (choose for the target cluster, not the laptop).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import TESTDATA_SCHEMAS
+
+
+def tumbling_counts_batch(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """T2 batch-equivalent: epoch-aligned tumbling buckets as plain
+    longs — timezone-free (ts -> epoch seconds -> integer division), so
+    semantics are identical in any engine at any session timezone."""
+    bucket = F.floor(F.col("ts").cast("long") / (minutes * 60)).alias("bucket")
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def tumbling_counts_window(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """T2 via F.window — the form that runs identically under
+    readStream; window start/end surfaced as epoch longs (TZ-free)."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("w_start"),
+            F.col("w.end").cast("long").alias("w_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """T3 batch-equivalent: per-user session windows.
+
+    ``F.session_window`` works on static frames too; sessions close
+    after ``gap_minutes`` of per-user inactivity."""
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is TIMESTAMP(NANOS) on disk — stream it as raw nanos and
+    # rebuild the TimestampType column (micros truncation), mirroring
+    # io.read_table's batch path.
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in TESTDATA_SCHEMAS["events"].fields
+        ]
+    )
+    # the file-stream source wants a directory; expose the single parquet
+    # file through a symlinked dir (what a real deployment's landing
+    # directory would be)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(src)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming query to completion (availableNow) into a memory
+    sink and return the result table — T1's drain-and-stop trigger, the
+    streaming analogue of the reference's scheduled full recompute."""
+    name = f"s_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str, minutes: int = 10) -> DataFrame:
+    """T1+T2+T4: watermarked tumbling counts over a real readStream,
+    drained with availableNow. Late rows beyond the 1-hour watermark
+    would be dropped; with a single drained batch nothing is late, so
+    the result equals the batch form (which is how it's oracle-checked)."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_counts_window(ev, minutes)
+    return _drain_to_memory(agg, "append")
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: dropDuplicatesWithinWatermark on event_id over a real stream."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return _drain_to_memory(counted, "complete")
+
+
+def stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: arbitrary stateful per-key processing — running max of
+    ``value`` per user via applyInPandasWithState (GroupState keyed by
+    user_id, one state row per key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    def fn(key, pdfs, state: GroupState):
+        mx = state.get[0] if state.exists else float("-inf")
+        n = 0
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((mx,))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_seen": [n]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, max_value double, n_seen long",
+        stateStructType="max_value double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return _drain_to_memory(out, "update")

@@ -30,6 +30,8 @@ def _normalize(df):
     # sort columns by name, then rows by every column (stringified for
     # stable cross-type ordering), like an order-insensitive hash would.
     df = df[sorted(df.columns)].copy()
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
     df = df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
     return df

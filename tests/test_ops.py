@@ -1,0 +1,216 @@
+"""Operator unit + property tests: binning, dedup, similarity, text,
+multimodal plumbing, streaming batch-equivalents."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.operators import dedupe, multimodal, similarity, text
+from books2scrape_etl_spark.operators.binning import (
+    bin_fixed,
+    bin_quantile_approx,
+    bin_quantile_exact,
+)
+
+
+# --- binning ---------------------------------------------------------------
+
+
+def test_bin_fixed_properties(spark):
+    vals = [(float(v),) for v in [0, 5, 9, 10, 17, 18, 29, 30, 31, -1, 1000]]
+    df = spark.createDataFrame(vals, "v double").withColumn(
+        "bin", bin_fixed("v", (0, 10, 18, 30), ("a", "b", "c"))
+    )
+    got = {r.v: r.bin for r in df.collect()}
+    assert got[0.0] == "a" and got[9.0] == "a"
+    assert got[10.0] == "b" and got[17.0] == "b"
+    assert got[18.0] == "c" and got[29.0] == "c"
+    assert got[30.0] is None and got[-1.0] is None and got[1000.0] is None
+
+
+def test_bin_quantile_approx_close_to_exact(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_retailprice")
+    exact = bin_quantile_exact(part, "p_retailprice", ("a", "b", "c"), "t", ("p_partkey",))
+    approx = bin_quantile_approx(part, "p_retailprice", ("a", "b", "c"), "t")
+    n = part.count()
+    agree = (
+        exact.alias("e")
+        .join(approx.alias("a"), "p_partkey")
+        .where(F.col("e.t") == F.col("a.t"))
+        .count()
+    )
+    assert agree / n > 0.95  # sketch edges ~ exact edges
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_idempotent_and_deterministic(spark):
+    rows = [(1, "hello world"), (2, "Hello,   WORLD!"), (3, "different text"), (4, "hello world")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedupe.exact_dedup(docs).collect()
+    by_fp = {r.fp: r for r in out}
+    assert len(out) == 2  # 1,2,4 normalize identically
+    survivors = sorted(r.doc_id for r in out)
+    assert survivors == [1, 3]  # min doc_id survives
+    counts = sorted(r.n_copies for r in out)
+    assert counts == [1, 3]
+
+
+def test_minhash_dedup_removes_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    near = base + " extra"
+    far = "completely unrelated content about spark query engines and shuffles"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    survivors = sorted(
+        r.doc_id for r in dedupe.minhash_dedup(docs, threshold=0.5).select("doc_id").collect()
+    )
+    assert 1 in survivors and 3 in survivors
+    assert 2 not in survivors  # near-dup of 1, larger id -> removed
+
+
+def test_jaccard_kernel(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedupe.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_similar_docs_share_bits(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat near the door"), (2, "the cat sat on the mat near the floor")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.s for r in docs.select("doc_id", dedupe.simhash64("text").alias("s")).collect()}
+    hamming = bin(sigs[1] ^ sigs[2]).count("1")
+    assert hamming < 20  # similar docs -> close signatures (60-bit space)
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = similarity.brute_force_topk(emb, queries, k=3).collect()
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].values
+    norms = np.linalg.norm(mat, axis=1)
+    for q_row in (0, 1):
+        qi = list(ids).index(q_row)
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        order = sorted(
+            [(round(-s, 6), i) for s, i in zip(sims, ids) if i != q_row]
+        )[:3]
+        expect = [i for _, i in order]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.q_id == q_row]
+        assert mine == expect
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, bits=2).collect()
+    exact_set = {(r.q_id, r.vec_id) for r in exact}
+    approx_set = {(r.q_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # single-probe ANN on near-random vectors: with 2 bits (4 buckets) a
+    # true neighbor shares the query's bucket w.p. ~1/4, so recall ~0.25
+    # in expectation; assert it's nonzero (bucketing wired correctly)
+    assert recall > 0.0
+    # every approx hit must come from the query's own bucket and be a
+    # real row
+    assert all(r.cos_sim <= 1.0 and r.rank <= 5 for r in approx)
+
+
+def test_embedding_near_dup_self_consistency(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    survivors = sorted(
+        r.vec_id
+        for r in similarity.embedding_near_dup(emb, threshold=0.99, dim=3, bits=2).collect()
+    )
+    assert 1 in survivors and 3 in survivors and 2 not in survivors
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_text_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "The cat and the dog, of course!"), (2, "der und die der und")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.text_stats(docs).collect()}
+    assert got[1].n_words == 7
+    assert got[1].lang_pred == "en"
+    assert got[2].lang_pred == "de"
+    assert got[1].n_chars_measured == 31
+    assert 0 < got[1].punct_ratio < 0.2
+    assert len(got[1].fp) == 32
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=20, deadline=None)
+def test_fingerprint_normalization_properties(s):
+    # pure-python mirror of normalize_for_fingerprint semantics
+    import re
+
+    norm = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+    norm2 = re.sub(r"[^a-z0-9]+", " ", norm.lower()).strip()
+    assert norm == norm2  # idempotent
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "a" * 100)], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    meta = {r.media_id: r for r in multimodal.decode_image_meta(media).collect()}
+    assert meta[1].n_bytes == 5
+    assert 64 <= meta[1].width < 256 and 64 <= meta[1].height < 256
+    frames = multimodal.sample_frames(media, every_n=10, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_id[2] == [0, 1, 2, 3]  # 1 -> N fan-out
+
+
+# --- streaming batch equivalents -------------------------------------------
+
+
+def test_tumbling_bucket_math(spark):
+    from books2scrape_etl_spark.streaming.windows import tumbling_counts_batch
+
+    rows = [
+        (1, "2024-01-01 00:04:00", "a", 1.0),
+        (2, "2024-01-01 00:09:59", "a", 2.0),
+        (3, "2024-01-01 00:10:00", "a", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    got = {r.bucket: r.n_events for r in tumbling_counts_batch(ev, 10).collect()}
+    assert list(got.values()) == [2, 1]  # :10:00 starts a new bucket

@@ -1,0 +1,50 @@
+"""Scraper source tests — offline HTML fixtures only (S1-S4, U2)."""
+
+from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES, LISTING_PAGES
+from books2scrape_etl_spark.sources.scrape import (
+    extract_links,
+    html_source,
+    page_range,
+    parse_books,
+)
+
+
+def test_page_range_source(spark):
+    df = page_range(spark, 3)
+    rows = df.collect()
+    assert [r.page_no for r in rows] == [1, 2, 3]
+    assert rows[0].url == "http://books.toscrape.com/catalogue/page-1.html"
+
+
+def test_extract_links_explodes(spark):
+    links = extract_links(html_source(spark, LISTING_PAGES)).collect()
+    assert len(links) == 4  # 3 from page 1, 1 from page 2
+    assert all(r.url.startswith("http://books.toscrape.com/catalogue/") for r in links)
+    assert not any("../" in r.url for r in links)
+
+
+def test_parse_books_fields(spark):
+    books = {r["Title"]: r for r in parse_books(html_source(spark, DETAIL_PAGES)).collect()}
+    assert len(books) == 3
+    b = books["A Light in the Attic"]
+    assert b["Category"] == "Poetry"
+    assert b["Rating"] == 3
+    assert b["Is_in_Stock"] is True
+    assert b["No_of_books_in_Stock"] == 22
+    assert b["UPC"] == "abc123"
+    assert b["Price (excl. tax)"] == "Â£51.77"
+    assert b["Description"] == "A classic collection."
+    # missing description -> reference default (extract_pipeline.py:10-11)
+    assert books["Tipping the Velvet"]["Description"] == "No description available"
+    assert books["Tipping the Velvet"]["Rating"] == 1
+    assert books["Soumission"]["Rating"] == 5
+
+
+def test_parsed_books_flow_into_transform(spark):
+    """Scrape -> clean -> star: the full reference pipeline shape."""
+    from books2scrape_etl_spark.plans.books import transform_books
+
+    raw = parse_books(html_source(spark, DETAIL_PAGES))
+    cleaned, dims, fact = transform_books(raw)
+    assert fact.count() == 3
+    assert cleaned.select("`Price (excl. tax)`").collect()[0][0] is not None
