@@ -34,3 +34,4 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 
 # Import for registration side effects (each module registers its qnames).
 from books2scrape_etl_spark import query_defs  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs2  # noqa: E402,F401

@@ -1,0 +1,487 @@
+"""Second-wave qname definitions — capability completion beyond the
+reference surface (SURVEY.md §2 [EXT] rows and §2.10 UDF surfaces):
+SQL-API entry, pivot/unpivot, subqueries, as-of join, analytic
+windows, string/math/date function suites, pandas UDAF + grouped-map,
+and the end-to-end books pipeline (scrape fixtures -> star -> summary).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.queries import register
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# =====================================================================
+# SQL API entry (§3.4: spark.sql produces the same Catalyst plans)
+# =====================================================================
+
+
+@register(
+    "sql_api",
+    f"""
+    SELECT n.n_name, COUNT(*) AS n_orders,
+           {oracle_sum_exact('o.o_totalprice', 2)} AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: temp views + spark.sql — same analyzer/
+    optimizer path as the DataFrame API, exposed as the engine's second
+    public surface."""
+    read_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    read_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    read_table(spark, "nation", sf_dir).createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
+
+
+# =====================================================================
+# pivot / unpivot
+# =====================================================================
+
+
+@register(
+    "pivot",
+    """
+    SELECT l_returnflag,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values to columns (explicit value list keeps the
+    plan single-pass — no extra distinct job)."""
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "unpivot",
+    """
+    SELECT o_orderkey, 'total' AS measure, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key_x10', CAST(o_orderkey * 10 AS DOUBLE) FROM orders
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — columns back to rows."""
+    o = read_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'total', o_totalprice, 'key_x10', CAST(o_orderkey * 10 AS DOUBLE))"
+        ).alias("measure", "val"),
+    )
+
+
+# =====================================================================
+# subqueries (scalar, correlated EXISTS, IN)
+# =====================================================================
+
+
+@register(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a filter (Catalyst rewrites to a one-row
+    broadcast join). avg threshold comparison only — no float crosses
+    the output boundary."""
+    read_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM v_orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM v_orders)
+        """
+    )
+
+
+@register(
+    "correlated_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE (SELECT COUNT(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) >= 2
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates to an
+    aggregate + join (SURVEY §4.2 'subquery decorrelation')."""
+    read_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    read_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE (SELECT COUNT(*) FROM v_orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) >= 2
+        """
+    )
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery -> left-semi join after rewrite."""
+    read_table(spark, "supplier", sf_dir).createOrReplaceTempView("v_supplier")
+    read_table(spark, "nation", sf_dir).createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM v_supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM v_nation WHERE n_regionkey = 0)
+        """
+    )
+
+
+# =====================================================================
+# as-of join + analytic windows
+# =====================================================================
+
+
+@register(
+    "join_asof",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(prev_click_us AS BIGINT) AS prev_click_us
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.5 J7): for each purchase, the timestamp of
+    the same user's latest strictly-earlier click. Expressed as a
+    last_value(IGNORE NULLS) window over the unioned event stream — the
+    Spark-native as-of formulation that needs no per-group Python
+    (pd.merge_asof stays available via applyInPandas for the general
+    two-table case). Timestamps surfaced as epoch micros (TZ-free)."""
+    ev = read_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    return (
+        ev.withColumn("prev_click_us", F.last(click_us, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "prev_click_us")
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_event_id,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_event_id
+    FROM events
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4c — lag/lead navigation over per-user event sequences."""
+    ev = read_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7c — explicit GROUPING SETS with grouping() marker."""
+    read_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    f"""
+    SELECT l_suppkey, COUNT(*) AS n_lines,
+           {oracle_sum_exact('l_quantity', 2)} AS sum_qty
+    FROM lineitem GROUP BY l_suppkey
+    HAVING COUNT(*) > 100
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), sum_exact("l_quantity", 2).alias("sum_qty"))
+        .where(F.col("n_lines") > 100)
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(l_quantity) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+           round((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity))
+                 / (COUNT(l_quantity) - 1), 6) AS variance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates from exact moments: variance assembled
+    from decimal-exact sum and sum-of-squares so the result is
+    order-independent (the builtin ``var_samp`` accumulates doubles in
+    partition order — not reproducible across engines or runs)."""
+    li = read_table(spark, "lineitem", sf_dir)
+    q = F.col("l_quantity")
+    n = F.count(q)
+    s1 = F.sum(q.cast("decimal(18,2)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(28,4)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 6).alias("variance"),
+    )
+
+
+@register("agg_approx")  # rows-only: sketch internals differ across engines
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    COUNT(DISTINCT)/percentile (HLL++ / Greenwald-Khanna sketches are
+    mergeable across partitions, one pass, bounded memory)."""
+    li = read_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+    )
+
+
+# =====================================================================
+# string / math / date function suites
+# =====================================================================
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           substring(p_name, 1, 5) AS sub5,
+           lpad(p_brand, 12, '.') AS padded,
+           levenshtein(p_brand, 'Brand#11') AS lev,
+           concat_ws('|', p_brand, p_type) AS joined,
+           translate(p_type, 'ae', 'AE') AS translated,
+           length(p_name) AS len
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string suite: case, substring, padding, edit distance,
+    concat, translate — all codegen'd builtins."""
+    p = read_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.lpad("p_brand", 12, ".").alias("padded"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.translate("p_type", "ae", "AE").alias("translated"),
+        F.length("p_name").alias("len"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           abs(l_discount - 0.05) AS ab,
+           CAST(l_orderkey % 7 AS BIGINT) AS md,
+           sqrt(l_quantity) AS sq,
+           round(l_extendedprice / 3.0, 2) AS rd
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math suite — restricted to IEEE-exact operations (floor/
+    ceil/abs/mod/sqrt and one explicit round) so the differential check
+    stays bit-exact; transcendentals (ln/exp/pow) are excluded because
+    libm results differ across engines in the last ulp."""
+    li = read_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        (F.col("l_orderkey") % 7).alias("md"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.round(F.col("l_extendedprice") / 3.0, 2).alias("rd"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day_str,
+           CAST(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1
+                     ELSE dayofweek(o_orderdate) + 1 END AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus30
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date suite: truncation, day-of-week (aligned to Spark's
+    1=Sunday convention), day-of-year, interval arithmetic — formatted
+    to strings inside the pinned-UTC session so nothing TZ-dependent
+    crosses the comparison boundary."""
+    _utc(spark)
+    o = read_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day_str"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("plus30"),
+    )
+
+
+# =====================================================================
+# §2.10 UDAF + grouped-map surfaces (U3, U4)
+# =====================================================================
+
+
+@register(
+    "udaf_grouped",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — user-defined aggregate via pandas_udf GROUPED_AGG: integer-
+    cents summation (exact, order-independent — a float-summing UDAF
+    would not reproduce across partitionings)."""
+
+    @F.pandas_udf("long")
+    def qty_cents(v: pd.Series) -> int:
+        return int((v * 100).astype("int64").sum())
+
+    li = read_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(qty_cents("l_quantity").alias("qty_cents"))
+
+
+@register(
+    "grouped_map",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS bal_rank
+    FROM customer
+    """,
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — applyInPandas grouped-map: per-segment dense ranking done in
+    pandas (deterministic sort + 1-based position), checked against the
+    SQL window-function oracle — the differential proves the grouped-map
+    path computes exactly what the relational form does."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        pdf["bal_rank"] = range(1, len(pdf) + 1)
+        return pdf[["c_mktsegment", "c_custkey", "bal_rank"]]
+
+    cust = read_table(spark, "customer", sf_dir).select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        rank_group, "c_mktsegment string, c_custkey long, bal_rank int"
+    )
+
+
+# =====================================================================
+# end-to-end reference pipeline (offline fixtures)
+# =====================================================================
+
+
+@register("books_e2e")  # rows-only: books fixture is not an oracle view
+def q_books_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete reference pipeline, offline: parse HTML fixtures
+    (S1-S4) -> clean (P1-P11) -> bins (B1-B2) -> star schema (D1-D3,
+    J1-J4) -> the five summary aggregates (A1-A5) as one row
+    (airflow.py's extract->transform->summarize DAG, minus SMTP)."""
+    from books2scrape_etl_spark.plans.books import transform_books
+    from books2scrape_etl_spark.plans.report import summary_aggregates
+    from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
+    from books2scrape_etl_spark.sources.scrape import html_source, parse_books
+
+    raw = parse_books(html_source(spark, DETAIL_PAGES))
+    cleaned, dims, fact = transform_books(raw)
+    return summary_aggregates(cleaned)

@@ -104,7 +104,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
