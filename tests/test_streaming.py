@@ -1,0 +1,71 @@
+"""Structured Streaming tests: real readStream runs drained with
+availableNow, checked against their batch-equivalent semantics."""
+
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.streaming.windows import (
+    session_windows_batch,
+    streaming_dedup,
+    streaming_tumbling,
+    stateful_running_max,
+    tumbling_counts_batch,
+    tumbling_counts_window,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    ev = read_table(spark, "events", sf_dir)
+    batch = {
+        (r.w_start, r.event_type): r.n_events
+        for r in tumbling_counts_window(ev, 10).collect()
+    }
+    stream = {
+        (r.w_start, r.event_type): r.n_events
+        for r in streaming_tumbling(spark, sf_dir, 10).collect()
+    }
+    # append mode emits a window only once the watermark passes its end:
+    # every emitted window must match batch exactly, and the only windows
+    # withheld are those within the 1-hour watermark horizon of max(ts)
+    assert stream.items() <= batch.items()
+    max_ts = ev.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    withheld = set(batch) - set(stream)
+    assert all(w_start + 600 > max_ts - 3600 for (w_start, _) in withheld)
+    assert len(stream) > 0.9 * len(batch)
+
+
+def test_streaming_dedup_counts(spark, sf_dir):
+    ev = read_table(spark, "events", sf_dir)
+    expected = {
+        r.event_type: r.n
+        for r in ev.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = {r.event_type: r.n_events for r in streaming_dedup(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_stateful_running_max(spark, sf_dir):
+    ev = read_table(spark, "events", sf_dir)
+    expected = {
+        r.user_id: r.mx
+        for r in ev.groupBy("user_id").agg(F.max("value").alias("mx")).collect()
+    }
+    got = {r.user_id: r.max_value for r in stateful_running_max(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_session_window_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (2, "2024-01-01 00:10:00", 1, 1.0),  # within 30min -> same session
+        (3, "2024-01-01 01:00:00", 1, 1.0),  # 50min gap -> new session
+        (4, "2024-01-01 00:00:00", 2, 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r.user_id, r.n_events) for r in session_windows_batch(ev, 30).collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
