@@ -69,13 +69,12 @@ def bin_quantile_exact(
     order = [to_col(col).asc(), *[to_col(t).asc() for t in tiebreak]]
     w = Window.orderBy(*order)
     n = len(labels)
-    tile = F.ntile(n).over(w)
-    label_expr = None
-    for i, lab in enumerate(labels, start=1):
-        label_expr = (
-            F.when(tile == i, lab) if label_expr is None else label_expr.when(tile == i, lab)
-        )
-    return df.withColumn(out_col, label_expr)
+    # materialize the tile once, then label it: referencing ntile() inside
+    # each CASE branch makes Spark evaluate N window expressions per row
+    # (visible as _we0.._weN in the plan)
+    tiled = df.withColumn("__tile", F.ntile(n).over(w))
+    label_expr = F.element_at(F.array(*[F.lit(x) for x in labels]), F.col("__tile"))
+    return tiled.withColumn(out_col, label_expr).drop("__tile")
 
 
 def bin_quantile_approx(

@@ -485,3 +485,37 @@ def q_books_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = parse_books(html_source(spark, DETAIL_PAGES))
     cleaned, dims, fact = transform_books(raw)
     return summary_aggregates(cleaned)
+
+
+# =====================================================================
+# partitioned sink + partition pruning (SURVEY §4.2)
+# =====================================================================
+
+
+@register(
+    "partition_pruning",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {oracle_sum_exact('l_extendedprice', 2)} AS sum_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + pruned scan: the fact is
+    written partitionBy(l_returnflag); the filtered read touches ONE
+    partition directory (PartitionFilters in .explain — static pruning;
+    the same layout enables dynamic partition pruning when the filter
+    arrives via a dim join). This is the engine's default layout for
+    100 TB fact tables."""
+    import os as _os
+
+    li = read_table(spark, "lineitem", sf_dir)
+    out = _os.path.join("/tmp/spark_graft_scratch", f"li_part_{_os.path.basename(sf_dir)}")
+    li.select("l_returnflag", "l_extendedprice").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), sum_exact("l_extendedprice", 2).alias("sum_price")
+    )

@@ -1,0 +1,67 @@
+"""Plan-quality regression tests: assert the physical plans the engine
+is designed around — broadcasts where intended, pruned scans, pushed
+filters, partition pruning, no accidental sort-merge or re-computed
+windows. These are the properties that keep the 100 TB posture honest;
+a code change that silently breaks one fails here, not in production."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.plans.flagship import flagship
+from books2scrape_etl_spark.queries import QUERIES
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_flagship_all_dims_broadcast(spark, sf_dir):
+    tree = explain_str(flagship(spark, sf_dir), "simple")
+    assert tree.count("BroadcastHashJoin") == 5  # part/orders/customer/nation/region
+    plan = explain_str(flagship(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # lineitem scan pruned to the 6 used columns
+    assert "l_comment" not in plan
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_schema = next(s for s in scan_schemas if "l_orderkey" in s)
+    assert "l_tax" not in li_schema and "l_shipdate" not in li_schema
+
+
+def test_flagship_single_window_expression(spark, sf_dir):
+    # the ntile tier must be computed once, not once per label branch
+    plan = explain_str(flagship(spark, sf_dir))
+    assert plan.count("ntile") <= 2  # one definition + at most one reference line
+
+
+def test_scan_pushdown(spark, sf_dir):
+    plan = explain_str(QUERIES["scan_parquet"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(p_size), LessThan(p_size,25)" in plan
+
+
+def test_sortmerge_hint_respected(spark, sf_dir):
+    plan = explain_str(QUERIES["join_sortmerge"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+
+
+def test_null_safe_join_still_broadcasts(spark, sf_dir):
+    plan = explain_str(QUERIES["join_null_safe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_filters_scan(spark, sf_dir):
+    df = QUERIES["partition_pruning"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf_line  # static pruning reached the scan
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    plan = explain_str(QUERIES["dedup_exact"](spark, sf_dir))
+    exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exchange_lines and all("fp" in l for l in exchange_lines)
+    assert all("text" not in l for l in exchange_lines)  # docs never shuffle
