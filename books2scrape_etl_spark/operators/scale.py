@@ -1,0 +1,103 @@
+"""Scale-path operators (SURVEY.md §7.4.2/§7.4.6): the distributed
+replacements for the two global-sort constructs, plus skew handling.
+
+These exist because two reference semantics — dense surrogate keys
+(transformation_pipeline.py:73-91) and quantile tiers (:63) — naively
+need a global sort, which single-tasks at 100 TB. ``plans/star.py``
+uses the exact forms on dimension-sized data (correct there by
+construction); this module provides the fact-sized variants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.util import to_col
+
+
+def dense_ids_scale(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense, 1-based, deterministic ids over distinct keys WITHOUT a
+    single-task global sort — the 100 TB replacement for
+    ``row_number() OVER (ORDER BY keys)``.
+
+    Two-phase construction:
+    1. range-partition the distinct keys (partition i holds keys < all
+       of partition i+1 — repartitionByRange guarantees ordered ranges
+       by partition index), rank within each partition;
+    2. collect only the per-partition COUNTS (one tiny row per
+       partition), prefix-sum them on the driver, and broadcast-join
+       the offsets back: id = offset[pid] + local_rank.
+
+    The result is bit-identical to the exact global row_number (the
+    range order concatenated in partition order IS the total order), so
+    the same SQL oracle verifies both forms. Work per task is bounded by
+    the largest range; no task ever sees the whole key set.
+    """
+    cols = [to_col(c).alias(c) for c in key_cols]
+    d = df.select(*cols).distinct()
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, *key_cols)
+    else:
+        d = d.repartitionByRange(*key_cols)
+    staged = d.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*[to_col(c).asc_nulls_first() for c in key_cols])
+    # persist BEFORE the counts action: the ranked table is consumed twice
+    # (counts, final join) and repartitionByRange samples its boundaries —
+    # an unpersisted recompute may draw different ranges, making the
+    # offsets from the first evaluation wrong for the second. (Caught by
+    # the sf0.01 differential: sf0.001 happened to sample identically.)
+    ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
+    # tiny action: one row per partition
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    return (
+        ranked.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(id_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .select(id_col, *key_cols)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_src: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-safe equi-join: explode the small side ``salt_buckets``
+    times, salt the big side deterministically, join on (key, salt).
+
+    A hot key that would land its entire volume on one reducer is
+    spread across ``salt_buckets`` tasks; join semantics are unchanged
+    (every big row still meets exactly one copy of its small-side
+    match). AQE's skew-join split handles moderate skew automatically —
+    salting is the explicit tool for the pathological keys you know
+    about (and it composes with AQE). Salt is ``xxhash64`` of
+    ``salt_src`` columns (deterministic, reproducible), not rand().
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (salt_src or [key])]), F.lit(salt_buckets)
+    ).cast("int")
+    big_salted = big.withColumn("__salt", salt)
+    small_exploded = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return big_salted.join(small_exploded, on=[key, "__salt"]).drop("__salt")

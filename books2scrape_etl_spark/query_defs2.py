@@ -519,3 +519,152 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), sum_exact("l_extendedprice", 2).alias("sum_price")
     )
+
+
+# =====================================================================
+# scale-path variants (operators/scale.py) + TPC-H-shaped queries
+# =====================================================================
+
+
+@register(
+    "surrogate_key_scale",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY l_partkey ASC NULLS FIRST,
+                                   l_suppkey ASC NULLS FIRST) AS BIGINT) AS ps_id,
+           l_partkey, l_suppkey
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    """,
+)
+def q_surrogate_key_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale variant — distributed dense ids (range partition + local
+    rank + broadcast offsets). Checked against the SAME row_number
+    oracle as the exact form: the two constructions are provably
+    identical, only the plan differs (no single-task sort)."""
+    from books2scrape_etl_spark.operators.scale import dense_ids_scale
+
+    li = read_table(spark, "lineitem", sf_dir)
+    return dense_ids_scale(li, ["l_partkey", "l_suppkey"], "ps_id", num_partitions=8)
+
+
+@register(
+    "join_salted",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           {oracle_sum_exact('l.l_quantity', 2)} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling: salted join must preserve plain-join semantics —
+    the oracle IS the unsalted join. (8-way salt: the hot key's volume
+    spreads over 8 reducers.)"""
+    from books2scrape_etl_spark.operators.scale import salted_join
+
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        "o_orderkey",
+        salt_buckets=8,
+        salt_src=["o_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), sum_exact("l_quantity", 2).alias("sum_qty")
+    )
+
+
+@register("bin_quantile_scale")  # rows-only: sketch edges are approximate
+def q_bin_quantile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 scale variant — approxQuantile edges + CASE labels (no global
+    sort; unit test pins >=95% agreement with the exact ntile)."""
+    from books2scrape_etl_spark.operators.binning import bin_quantile_approx
+
+    li = read_table(spark, "lineitem", sf_dir)
+    return bin_quantile_approx(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice",
+        ("Budget", "Standard", "Premium"),
+        out_col="price_tier",
+    )
+
+
+@register(
+    "tpch_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {oracle_sum_exact('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter ->
+    broadcast -> fact agg -> top-k. Date formatted UTC-pinned."""
+    _utc(spark)
+    c = read_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") != "F")
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    f"""
+    SELECT n.n_name,
+           {oracle_sum_exact('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table star with a
+    two-column join condition and region filter pushed into the dims."""
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    s = read_table(spark, "supplier", sf_dir)
+    n = read_table(spark, "nation", sf_dir)
+    r = read_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+    )
