@@ -269,3 +269,103 @@ def ngram_jaccard_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected (id_a, id_b) edge list by
+    iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    Each iteration is one join + one aggregation (both hash-partitioned
+    on id — co-partitioned across iterations); convergence needs
+    O(log(longest chain)) rounds because labels hop two edges per round
+    through the symmetric edge list. Iterations are persisted and the
+    previous generation unpersisted — the lineage stays O(1) deep, which
+    is what keeps an iterative algorithm viable on a real cluster (an
+    unbounded lineage chain re-executes everything on failure).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.distinct().persist()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    bands: int = 8,
+    rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """L2 (exact grouping variant) — near-dup removal keeping exactly one
+    doc per connected component of the verified-similar graph.
+
+    Differs from :func:`minhash_dedup`'s single-pass survivor rule on
+    chains: for A~B~C (A!~C), the single-pass rule drops B and C; the
+    component rule keeps only min(A,B,C)=A. Costs O(log chain) extra
+    rounds — the price of exact transitive grouping.
+    """
+    sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
+    b = minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh).persist()
+    left, right = b.alias("l"), b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified_pairs = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified_pairs)
+    dupes = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(dupes, "doc_id", "left_anti")

@@ -668,3 +668,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
         )
     )
+
+
+@register("dedup_minhash_cc")  # rows-only: iterative algorithm, no SQL twin
+def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact-grouping variant — keep one doc per connected component
+    of the verified-similar graph (iterative min-label propagation;
+    bounded lineage via persist/unpersist per round)."""
+    from books2scrape_etl_spark.operators.dedupe import minhash_dedup_cc
+
+    docs = read_table(spark, "documents", sf_dir)
+    return minhash_dedup_cc(docs, threshold=0.6).select("doc_id", "lang", "source")

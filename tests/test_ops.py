@@ -214,3 +214,31 @@ def test_tumbling_bucket_math(spark):
     ev = ev.withColumn("ts", F.to_timestamp("ts"))
     got = {r.bucket: r.n_events for r in tumbling_counts_batch(ev, 10).collect()}
     assert list(got.values()) == [2, 1]  # :10:00 starts a new bucket
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    comp = {r.doc_id: r.component for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_cc_keeps_one_per_component(spark):
+    # chain A~B~C: B near-dups A, C near-dups B but not A
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = a + " nu"
+    c = b + " xi omicron pi rho sigma"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "totally different words about engines and shuffles")],
+        "doc_id long, text string",
+    )
+    single_pass = sorted(
+        r.doc_id for r in dedupe.minhash_dedup(docs, threshold=0.55).select("doc_id").collect()
+    )
+    cc = sorted(
+        r.doc_id for r in dedupe.minhash_dedup_cc(docs, threshold=0.55).select("doc_id").collect()
+    )
+    assert 1 in cc and 9 in cc
+    assert 2 not in cc  # in A's component
+    assert set(cc) <= set(single_pass) | {1, 9} or len(cc) <= len(single_pass) + 1
