@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.agg import avg_exact, sum_exact
+from books2scrape_etl_spark.functions.util import to_col
 
 SUMMARY_KEYS = (
     "total_books",
@@ -50,6 +51,26 @@ def summary_aggregates(
         avg_exact(rating_col, scale=2).alias("avg_rating"),
         F.sum(F.col(in_stock_col).cast("long")).alias("books_in_stock"),
     )
+
+
+def observed_pipeline(df: DataFrame, inventory_col: str = "Inventory Value"):
+    """S9 (observability) — attach an ``Observation`` so row counts and
+    control totals ride along with whatever action the pipeline runs,
+    costing zero extra passes (the reference recomputes its summary in a
+    separate pandas pass, airflow.py:101-107; ``observe`` piggybacks on
+    the job already running). Returns (observed_df, observation) —
+    read ``observation.get`` after any action on observed_df."""
+    from pyspark.sql import Observation
+
+    obs = Observation("pipeline_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(to_col(inventory_col).cast("decimal(18,4)")).cast("double").alias(
+            "inventory_total"
+        ),
+    )
+    return observed, obs
 
 
 def quality_gate(df: DataFrame) -> None:

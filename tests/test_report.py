@@ -44,3 +44,15 @@ def test_run_report_end_to_end(spark, monkeypatch):
     summary = run_report(cleaned)
     assert set(summary) == set(SUMMARY_KEYS)
     assert summary["total_books"] > 0
+
+
+def test_observed_pipeline_metrics(spark):
+    from books2scrape_etl_spark.plans.books import clean_books
+    from books2scrape_etl_spark.plans.report import observed_pipeline
+    from tests.fixtures import BOOKS_RAW_ROWS
+
+    cleaned = clean_books(books_raw_df(spark))
+    observed, obs = observed_pipeline(cleaned)
+    n = observed.count()  # the action the metrics piggyback on
+    assert obs.get["rows_seen"] == n == len(BOOKS_RAW_ROWS)
+    assert obs.get["inventory_total"] > 0
