@@ -679,3 +679,97 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, "documents", sf_dir)
     return minhash_dedup_cc(docs, threshold=0.6).select("doc_id", "lang", "source")
+
+
+# =====================================================================
+# corpus curation composite (the LLM-pipeline flagship) + foreachBatch
+# =====================================================================
+
+from books2scrape_etl_spark.query_defs import _LANG_CASE_SQL, _NORM_SQL  # noqa: E402
+
+
+@register(
+    "corpus_curation",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n_chars_measured,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+             {_LANG_CASE_SQL} AS lang_pred,
+             md5({_NORM_SQL}) AS fp
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM stats
+      WHERE n_chars_measured >= 100 AND lang_pred <> 'unknown'
+    ), deduped AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp
+    )
+    SELECT f.lang_pred,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens
+    FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id
+    GROUP BY f.lang_pred
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data-pipeline composite, end to end: per-doc stats ->
+    quality/language filter -> exact dedup (min-doc_id survivor) ->
+    per-language document and token budget. One composed lazy plan:
+    the stats projection fuses into the scan, the filter prunes before
+    the dedup shuffle, and the final agg is partial+final. This is the
+    query shape a 100 TB pretraining-corpus build runs daily."""
+    from books2scrape_etl_spark.operators import text as T
+
+    docs = read_table(spark, "documents", sf_dir)
+    c = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        F.length(c).alias("n_chars_measured"),
+        T.token_count_bpe_ish(c).alias("n_tokens"),
+        T.lang_id(c).alias("lang_pred"),
+        T.fingerprint(c).alias("fp"),
+    )
+    filtered = stats.where(
+        (F.col("n_chars_measured") >= 100) & (F.col("lang_pred") != "unknown")
+    )
+    survivors = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        filtered.join(survivors, ["fp", "doc_id"])
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register("stream_foreachbatch_rt")  # rows-only: side-effecting sink
+def q_stream_foreachbatch_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sink variant — foreachBatch: each micro-batch lands as
+    parquet via the engine's own writer (the exactly-once custom-sink
+    idiom; batch id available for idempotent writes). Returns the
+    landed rows re-read from the sink."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from books2scrape_etl_spark.streaming.windows import _stream_events
+
+    out = _os.path.join(_tf.gettempdir(), f"fb_sink_{_uuid.uuid4().hex[:8]}")
+    ckpt = out + "_ckpt"
+
+    def land(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out))
+
+    ev = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("batch_id").alias("n_batches")
+    )
