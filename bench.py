@@ -32,6 +32,10 @@ HEADLINE = [
     "sim_cosine",
     "text_stats",
     "stream_tumbling",
+    "tpch_q3",
+    "tpch_q5",
+    "corpus_curation",
+    "surrogate_key_scale",
 ]
 
 
