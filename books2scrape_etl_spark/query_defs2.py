@@ -773,3 +773,48 @@ def q_stream_foreachbatch_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("batch_id").alias("n_batches")
     )
+
+
+# =====================================================================
+# explode / UDTF fan-out surfaces (§2.10 U2)
+# =====================================================================
+
+
+@register(
+    "explode_split",
+    """
+    SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+    FROM documents
+    """,
+)
+def q_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (relational form) — 1->N fan-out: split + explode (the shape
+    the scraper's link extraction uses, extract_pipeline.py:57-73)."""
+    docs = read_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.explode(F.split("text", r"\. ")).alias("sentence")
+    )
+
+
+@register("udtf_sentences")  # rows-only: python UDTF execution surface
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (python UDTF form) — a table function emitting one row per
+    sentence with its position: the Spark 4 @udtf surface for custom
+    1->N operators that need imperative logic (the relational
+    split+explode above stays the default)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, n_words int")
+    class SentenceStats:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for pos, s in enumerate(text.split(". ")):
+                yield doc_id, pos, len(s.split())
+
+    spark.udtf.register("sentence_stats", SentenceStats)
+    docs = read_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("v_docs")
+    return spark.sql(
+        "SELECT s.* FROM v_docs, LATERAL sentence_stats(doc_id, text) s"
+    )
