@@ -22,14 +22,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from books2scrape_etl_spark.plans.flagship import flagship  # noqa: E402
 from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable on executor Python workers.
+
+    UDF/pandas-UDF callables defined in the package are cloudpickled by
+    module reference; workers are separate processes that do NOT inherit
+    the driver's sys.path, so unless the driver happens to run with the
+    repo as its cwd (local mode inherits cwd), deserialization fails
+    with ModuleNotFoundError. Shipping a zip via addPyFile works for any
+    driver cwd and for real multi-host executors alike.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "books2scrape_etl_spark_pkg")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=repo_root, base_dir="books2scrape_etl_spark"
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(id(sc))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    def shipped(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: shipped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -43,8 +43,6 @@ def clean_description_suffix(col: Column | str) -> Column:
 def _mojibake_fix(s):
     # cp1252 encode-ignore / utf-8 decode-ignore round trip —
     # byte-exact parity with transformation_pipeline.py:22-23.
-    import pandas as pd
-
     def fix(x):
         if x is None:
             return ""

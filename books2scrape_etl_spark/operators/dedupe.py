@@ -28,7 +28,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.util import to_col
@@ -199,7 +199,6 @@ def _simhash_batch(s):
     import hashlib
 
     import numpy as np
-    import pandas as pd
 
     def one(shingles):
         if shingles is None or len(shingles) == 0:

@@ -15,7 +15,6 @@ version materializes 7 CSVs and every intermediate in RAM
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.columns import (
     clean_currency,
