@@ -126,17 +126,32 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     bits: int = 6,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """L3 scale path — ANN top-k probing only the query's LSH bucket.
+    """L3 scale path — ANN top-k probing the query's LSH bucket.
 
     Same output shape as :func:`brute_force_topk`; recall < 1.0 by
-    construction (single-probe). The cross product becomes an equi-join
-    on ``bucket`` — at 1000 executors this is a plain hash-partitioned
-    join on a low-cardinality key, with AQE handling bucket skew.
+    construction. ``multi_probe=p`` additionally probes every bucket
+    within Hamming distance 1 on the first ``p`` hyperplane bits — the
+    standard recall dial: candidate volume grows ~(p+1)x, recall climbs
+    toward exact, and the plan stays the same equi-join on ``bucket``
+    (the probe fan-out explodes the tiny query side, never the corpus).
+    At 1000 executors this is a hash-partitioned join on a
+    low-cardinality key, with AQE handling bucket skew.
     """
     e = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, bits))
     q = queries.withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits))
+    if multi_probe > 0:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << b) for b in range(min(multi_probe, bits))]
+        )
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))),
+        )
     cand = e.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    if multi_probe > 0:
+        cand = cand.dropDuplicates(["q_id", "vec_id"])
     scored = cand.select(
         "q_id",
         "vec_id",

@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis generates the inputs; one Spark job
+evaluates the whole batch) for the cleaning and binning kernels."""
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.columns import clean_currency
+from books2scrape_etl_spark.operators.binning import bin_fixed
+
+
+def _random_dirty_strings(n=300, seed=42):
+    rng = random.Random(seed)
+    alphabet = string.printable + "Â£€¥"
+    out = []
+    for _ in range(n):
+        out.append("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20))))
+    # adversarial shapes
+    out += ["", ".", "..", "1.2.3", "Â£", "£-5.5", "  12.00  ", "1" * 30, None]
+    return out
+
+
+def test_clean_currency_total_and_idempotent(spark):
+    """For ANY string input: result is null or a finite double, and
+    re-cleaning the stringified result is a fixpoint."""
+    vals = _random_dirty_strings()
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    once = df.select(F.col("s"), clean_currency("s").alias("c1"))
+    twice = once.select("s", "c1", clean_currency(F.col("c1")).alias("c2"))
+    rows = twice.collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        if r.c1 is not None:
+            assert r.c1 == r.c1  # not NaN
+            # idempotence holds for money-magnitude values; above ~1e16
+            # the double stringifies in scientific notation and the
+            # reference's own regex (transformation_pipeline.py:7) would
+            # strip the exponent marker too — documented parity limit
+            if abs(r.c1) < 1e15:
+                assert r.c2 == r.c1
+        else:
+            assert r.c2 is None
+
+
+def test_bin_fixed_partition_of_range(spark):
+    """Every in-range value gets exactly one label; everything outside
+    [lo, hi) gets null — for random edge sets."""
+    rng = random.Random(7)
+    edges = sorted(rng.sample(range(-50, 200), 5))
+    labels = [f"b{i}" for i in range(len(edges) - 1)]
+    vals = [float(v) for v in range(-60, 210)] + [float(e) for e in edges]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v", bin_fixed("v", edges, labels).alias("bin")
+    )
+    for r in df.collect():
+        if edges[0] <= r.v < edges[-1]:
+            idx = max(i for i, e in enumerate(edges) if e <= r.v)
+            assert r.bin == labels[idx], (r.v, edges)
+        else:
+            assert r.bin is None, (r.v, edges)
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    from books2scrape_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    single = {
+        (r.q_id, r.vec_id)
+        for r in similarity.lsh_topk(emb, queries, k=5, bits=4).collect()
+    }
+    multi = {
+        (r.q_id, r.vec_id)
+        for r in similarity.lsh_topk(emb, queries, k=5, bits=4, multi_probe=4).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)  # probing more never hurts
+    assert len(multi) >= len(single)
