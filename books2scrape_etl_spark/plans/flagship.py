@@ -58,8 +58,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         # P4 analogue — CASE WHEN binary recode
         .withColumn("is_returned", F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
         .join(F.broadcast(part_tiered), lineitem["l_partkey"] == part_tiered["p_partkey"], "inner")
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"), "inner")
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        # orders/customer are fact-sized (2nd/3rd largest TPC-H tables):
+        # no broadcast hint — a hint overrides the size threshold
+        # unconditionally and would OOM every executor at 100x scale.
+        # AQE still picks broadcast at bench scale when they fit.
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"), "inner")
         .join(F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"), "inner")
         .join(F.broadcast(region.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"), "inner")
     )

@@ -13,6 +13,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    # Ship the package zip to executor Python workers (same path the
+    # driver contract uses) so UDF-bearing tests pass regardless of the
+    # pytest working directory — local-mode workers inherit the driver
+    # cwd and otherwise fail to unpickle module-referenced callables.
+    import __spark_entry__
+
+    __spark_entry__._ship_package(s)
     yield s
 
 
