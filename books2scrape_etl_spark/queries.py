@@ -35,3 +35,58 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # Import for registration side effects (each module registers its qnames).
 from books2scrape_etl_spark import query_defs  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs2  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs3  # noqa: E402,F401
+
+# ---------------------------------------------------------------------
+# Registry ordering. The driver's CORRECTNESS harness checks at most the
+# first ~50 entries, so order is load-bearing: WINDOW lists the 50
+# qnames that together cover every SURVEY.md §2 component (suite qnames
+# from query_defs3 stand in for groups of single-operator qnames); then
+# every remaining oracle-paired qname (checked if the window is wider
+# than 50); rows-only qnames go last — they yield only a weak rows>0
+# signal and the real-stream ones are the slowest in the registry.
+# ---------------------------------------------------------------------
+
+WINDOW: tuple[str, ...] = (
+    # headline + TPC-H shapes + LLM-pipeline north stars
+    "flagship", "tpch_q3", "tpch_q5", "corpus_curation",
+    "sim_cosine", "embed_norm", "text_stats", "lang_dist", "multimodal_bytes",
+    "dedup_exact", "ngram_jaccard",
+    # joins / SQL surfaces
+    "asof_join_general", "join_asof", "sql_api",
+    "pivot", "unpivot", "scalar_subquery", "correlated_subquery", "in_subquery",
+    "grouping_sets", "agg_having", "agg_stats",
+    "string_funcs", "math_funcs", "date_funcs",
+    "udaf_grouped", "grouped_map", "partition_pruning",
+    "surrogate_key_scale", "join_salted", "explode_split",
+    # component suites (each packs 2-5 single-operator qnames)
+    "columns_part_suite", "columns_lineitem_suite", "distinct_suite",
+    "semi_anti_suite", "set_ops_suite", "window_suite", "topk_ordered",
+    "json_map_ops",
+    # representative singles for the remaining components
+    "range_source", "scan_parquet", "scan_csv",
+    "clean_currency", "clean_description",
+    "join_fact", "join_sortmerge", "agg_summary", "array_ops",
+    "stream_tumbling", "stream_session",
+)
+
+
+def _reorder() -> None:
+    assert len(WINDOW) == 50, len(WINDOW)
+    missing = [n for n in WINDOW if n not in QUERIES]
+    assert not missing, f"WINDOW names not registered: {missing}"
+    no_oracle = [n for n in WINDOW if n not in ORACLE_SQL]
+    assert not no_oracle, f"WINDOW entries must be oracle-paired: {no_oracle}"
+    rest_sql = [n for n in QUERIES if n not in set(WINDOW) and n in ORACLE_SQL]
+    rest_rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
+    order = [*WINDOW, *rest_sql, *rest_rows_only]
+    assert len(order) == len(QUERIES)
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+    sql_ordered = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
+    ORACLE_SQL.clear()
+    ORACLE_SQL.update(sql_ordered)
+
+
+_reorder()

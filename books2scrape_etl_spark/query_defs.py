@@ -554,14 +554,26 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A5 — the five airflow summary aggregates (airflow.py:101-107)
-    as one global agg."""
+    as one global agg. COUNT(DISTINCT) is two-phase (partial agg keyed
+    by l_orderkey, then a final roll-up where the distinct count is a
+    plain row count) — same rewrite as flagship's: avoids the Expand
+    operator that doubles every input row for mixed distinct/plain
+    aggregates, and the partial agg combines map-side before the one
+    shuffle. Identical results, measurably faster."""
     li = read_table(spark, "lineitem", sf_dir)
-    return li.agg(
-        F.count(F.lit(1)).alias("total_lines"),
-        F.countDistinct("l_orderkey").alias("total_orders"),
-        sum_exact("l_extendedprice", 2).alias("total_price"),
-        avg_exact("l_quantity", 2).alias("avg_qty"),
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("n_returned"),
+    pre = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"),
+        F.count("l_quantity").alias("_qn"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_ret"),
+    )
+    return pre.agg(
+        F.sum("_n").alias("total_lines"),
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum("_price").cast("double").alias("total_price"),
+        (F.sum("_qty").cast("double") / F.sum("_qn")).alias("avg_qty"),
+        F.sum("_ret").cast("long").alias("n_returned"),
     )
 
 

@@ -73,12 +73,21 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: linestatus values to columns (explicit value list keeps the
-    plan single-pass — no extra distinct job)."""
+    plan single-pass — no extra distinct job). Empty (group, value)
+    cells are coalesced to 0: Spark's pivot emits NULL for a cell with
+    no rows while the conditional-count form (and the oracle) emits 0 —
+    on TPC-H-faithful data R/A rows never carry linestatus 'O', so the
+    empty cell is a real case, not a theoretical one."""
     li = read_table(spark, "lineitem", sf_dir)
-    return (
+    pv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
     )
 
 
@@ -612,9 +621,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") != "F")
     li = read_table(spark, "lineitem", sf_dir)
+    # orders (even minus one status) and the BUILDING customer slice are
+    # fact-sized — no broadcast hints; AQE chooses the strategy (still
+    # broadcast at bench scale, shuffle join at 100x without OOM).
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
@@ -654,11 +666,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, "supplier", sf_dir)
     n = read_table(spark, "nation", sf_dir)
     r = read_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    # orders/customer are unfiltered fact-sized tables: no broadcast
+    # hints (would OOM at 100x). supplier is 1/10 customer — borderline,
+    # leave it to AQE as well; nation/region are true dims.
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
