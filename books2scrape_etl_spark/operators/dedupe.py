@@ -17,13 +17,14 @@ Scale design notes (the part that matters at 100 TB):
   (documented tradeoff: CC-exact grouping needs an iterative join
   loop; the any-smaller-neighbor rule is a single pass and removes a
   superset of what keep-one-per-component removes on chains).
-- **SimHash**: 64-bit signature from per-token md5 bit-votes; near-dups
-  = equal 16-bit bands (hamming-adjacent buckets), same join shape as
+- **SimHash**: 60-bit signature from per-shingle bit-votes; near-dups
+  = equal 15-bit bands (hamming-adjacent buckets), same join shape as
   MinHash bands.
 - Hash choices: md5 where cross-engine portability matters (exact-dedup
-  fingerprints, SimHash — the oracle can replicate md5), native
-  ``xxhash64`` for MinHash seeds (rows-only operator; the md5-based
-  formulation blew up generated-code size, see minhash_signature).
+  fingerprints — the oracle can replicate md5), native ``xxhash64`` for
+  MinHash seeds AND SimHash shingle hashes (rows-only operators; the
+  md5-based formulations cost either a Janino codegen blowup or Python-
+  loop hashing — see minhash_signature / simhash64).
 """
 
 from __future__ import annotations
@@ -127,7 +128,14 @@ def minhash_bands(
         if shingles_df is not None
         else docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles"))
     )
-    sig_df = sh.select("doc_id", minhash_signature(F.col("shingles"), k).alias("sig"))
+    # Empty-shingle docs (shorter than shingle_n words) never band: they
+    # carry no similarity evidence, so they are unconditional survivors.
+    # Without this filter they all hash to the same '' band signature —
+    # a single O(n_short^2) self-join bucket (skew bomb) that then
+    # "verifies" via the empty-vs-empty Jaccard corner.
+    sig_df = sh.where(F.size("shingles") > 0).select(
+        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
+    )
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     return (
         sig_df.select("doc_id", F.explode(band_ids).alias("band"), "sig")
@@ -142,26 +150,63 @@ def minhash_bands(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard of two string arrays (distinct semantics)."""
+    """Exact Jaccard of two string arrays (distinct semantics).
+
+    Two EMPTY sets score 0.0, not 1.0: for dedup, "no content" must
+    never read as "identical content" — with 1.0 every sub-shingle-length
+    document becomes a verified duplicate of every other one and all but
+    one silently vanish (corpus data loss). Empty-shingle docs are also
+    excluded from banding (see :func:`minhash_bands`), so this is a
+    second line of defense for callers that bring their own candidates.
+    """
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def solve_bands(threshold: float, num_hashes: int = 16) -> tuple[int, int]:
+    """Choose (bands, rows) with bands*rows == num_hashes whose LSH
+    S-curve midpoint (1/b)^(1/r) sits closest to ``threshold``.
+
+    The probability two docs with Jaccard s share >=1 band is
+    1-(1-s^r)^b, an S-curve with midpoint ~(1/b)^(1/r); banding is a
+    similarity filter only as good as its midpoint, so it must follow
+    the caller's threshold rather than stay hardcoded.
+    """
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        midpoint = (1.0 / b) ** (1.0 / r)
+        err = abs(midpoint - threshold)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
 
 
 def minhash_dedup(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.7,
-    bands: int = 8,
-    rows: int = 2,
+    bands: int | None = None,
+    rows: int | None = None,
     shingle_n: int = 3,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """L2 — near-dup removal. Returns surviving (doc_id, text).
 
     candidates = self-join on LSH band buckets (id_small < id_big);
     verified = exact Jaccard on shingle sets >= threshold;
     survivors = docs with NO verified neighbor of smaller doc_id.
+
+    (bands, rows) default to :func:`solve_bands`(threshold, num_hashes)
+    — the S-curve midpoint tracks the threshold, so a t=0.8 run prunes
+    far more candidates than a t=0.5 run instead of both using one
+    hardcoded banding. Pass both explicitly to override.
     """
+    if bands is None or rows is None:
+        bands, rows = solve_bands(threshold, num_hashes)
     # persist the shingle staging table: reused by the K hash transforms
     # AND the Jaccard verification; without it the normalize+shingle
     # expression re-inlines into every consumer
@@ -192,26 +237,19 @@ def minhash_dedup(
     return docs.join(verified, docs["doc_id"] == verified["id_b"], "left_anti")
 
 
-def _simhash_batch(s):
-    """Vectorized 60-bit SimHash kernel: per-shingle md5 -> bit votes ->
-    majority sign. numpy bit-unpacking keeps the Python crossing to one
-    Arrow batch; deterministic (md5) across runs and engines."""
-    import hashlib
-
+def _simhash_votes_batch(s):
+    """Vectorized 60-bit SimHash bit-vote kernel over PRE-HASHED
+    shingles (array<long> per doc): unpack bits -> +1/-1 majority vote
+    per position -> signature. Pure numpy over one Arrow batch — no
+    Python-level hashing (the per-shingle hash runs Catalyst-side)."""
     import numpy as np
 
-    def one(shingles):
-        if shingles is None or len(shingles) == 0:
+    def one(hs):
+        if hs is None or len(hs) == 0:
             return 0
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 4
-                for g in shingles
-            ],
-            dtype=np.uint64,
-        )
-        bits = (hs[:, None] >> np.arange(60, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = 2 * bits.sum(axis=0) - len(hs)  # +1/-1 majority
+        a = np.asarray(hs, dtype=np.int64).astype(np.uint64) >> np.uint64(4)
+        bits = (a[:, None] >> np.arange(60, dtype=np.uint64)[None, :]) & np.uint64(1)
+        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(a)  # +1/-1 majority
         sig = np.uint64(0)
         for j in np.nonzero(votes > 0)[0]:
             sig |= np.uint64(1) << np.uint64(j)
@@ -223,23 +261,40 @@ def _simhash_batch(s):
 def simhash64(col: Column | str, shingle_n: int = 2) -> Column:
     """60-bit SimHash of the word-shingle set.
 
-    The shingling stays Catalyst-side (codegen'd array ops); the bit
-    arithmetic is one Arrow-batched pandas UDF — a deliberate slow-path
-    call: the pure-expression formulation (60 aggregate() nodes over the
-    hash array) generated megabytes of Janino code and compiled for
-    minutes, while the vectorized kernel is a few numpy ops per batch.
+    Shingling AND per-shingle hashing stay Catalyst-side (codegen'd
+    array ops + native xxhash64 — same hash family as MinHash); only
+    the 60-way bit voting crosses to an Arrow-batched numpy kernel.
+    A deliberate split: the pure-expression vote (60 aggregate() nodes
+    over the hash array) generated megabytes of Janino code and
+    compiled for minutes, while per-shingle md5 in Python was the
+    repo's slowest kernel — hashing JVM-side + voting in numpy avoids
+    both.
     """
-    fn = F.pandas_udf(_simhash_batch, "long")
-    return fn(word_shingles(col, shingle_n))
+    hashed = F.transform(word_shingles(col, shingle_n), lambda g: F.xxhash64(g))
+    fn = F.pandas_udf(_simhash_votes_batch, "long")
+    return fn(hashed)
 
 
-def simhash_bands(docs: DataFrame, text_col: str = "text", band_bits: int = 15) -> DataFrame:
+def simhash_bands(
+    docs: DataFrame, text_col: str = "text", band_bits: int = 15, shingle_n: int = 2
+) -> DataFrame:
     """(doc_id, band, band_val) for hamming-bucket candidate join: docs
-    within hamming distance < n_bands share at least one band value."""
-    sig = simhash64(text_col)
+    within hamming distance < n_bands share at least one band value.
+
+    Empty-shingle docs (< shingle_n words) are excluded — they carry no
+    similarity evidence, and their all-zero signatures would otherwise
+    pile into one shared bucket per band (the same skew bomb as the
+    MinHash '' band signature)."""
+    hashed = F.transform(word_shingles(text_col, shingle_n), lambda g: F.xxhash64(g))
+    fn = F.pandas_udf(_simhash_votes_batch, "long")
     # persist: each band projection below reads the signature; without it
     # the pandas-UDF signature kernel runs once per band
-    df = docs.select("doc_id", sig.alias("simhash")).persist()
+    df = (
+        docs.select("doc_id", hashed.alias("hs"))
+        .where(F.size("hs") > 0)
+        .select("doc_id", fn(F.col("hs")).alias("simhash"))
+        .persist()
+    )
     n_bands = 60 // band_bits
     out = None
     for band in range(n_bands):
@@ -270,19 +325,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected (id_a, id_b) edge list by
     iterative min-label propagation: every node repeatedly adopts the
     smallest label among itself and its neighbors until fixpoint.
 
     Returns (doc_id, component) where component = min doc_id reachable.
     Each iteration is one join + one aggregation (both hash-partitioned
-    on id — co-partitioned across iterations); convergence needs
-    O(log(longest chain)) rounds because labels hop two edges per round
-    through the symmetric edge list. Iterations are persisted and the
-    previous generation unpersisted — the lineage stays O(1) deep, which
-    is what keeps an iterative algorithm viable on a real cluster (an
-    unbounded lineage chain re-executes everything on failure).
+    on id — co-partitioned across iterations); the min label moves ONE
+    hop per round, so convergence is O(graph diameter) rounds — fine
+    for near-dup graphs (components are dense clusters of copies, with
+    tiny diameters), but an adversarial length-D chain needs D rounds.
+    (The logarithmic-round alternative is large-star/small-star
+    contraction [Kiveris et al. 2014]; not needed at dedup diameters.)
+    If ``max_iter`` is exhausted before fixpoint, a warning is emitted —
+    labels would be silently wrong otherwise. Iterations are persisted
+    and the previous generation unpersisted — the lineage stays O(1)
+    deep, which is what keeps an iterative algorithm viable on a real
+    cluster (an unbounded lineage chain re-executes everything on
+    failure).
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -324,6 +385,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "labels may split components (raise max_iter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels
 
@@ -332,18 +402,21 @@ def minhash_dedup_cc(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.7,
-    bands: int = 8,
-    rows: int = 2,
+    bands: int | None = None,
+    rows: int | None = None,
     shingle_n: int = 3,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """L2 (exact grouping variant) — near-dup removal keeping exactly one
     doc per connected component of the verified-similar graph.
 
     Differs from :func:`minhash_dedup`'s single-pass survivor rule on
     chains: for A~B~C (A!~C), the single-pass rule drops B and C; the
-    component rule keeps only min(A,B,C)=A. Costs O(log chain) extra
+    component rule keeps only min(A,B,C)=A. Costs extra iteration
     rounds — the price of exact transitive grouping.
     """
+    if bands is None or rows is None:
+        bands, rows = solve_bands(threshold, num_hashes)
     sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
     b = minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh).persist()
     left, right = b.alias("l"), b.alias("r")

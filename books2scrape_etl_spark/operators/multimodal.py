@@ -129,17 +129,30 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> D
     consumed) is the real contract."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out_ids, out_idx, out_bytes = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                n = min(max_frames, max(1, len(payload) // max(every_n, 1)))
-                for i in range(n):
-                    out_ids.append(row["media_id"])
-                    out_idx.append(i)
-                    out_bytes.append(payload[i * every_n : (i + 1) * every_n])
+            payloads = pdf["payload"].map(lambda b: b or b"")
+            lens = payloads.map(len).to_numpy(dtype="int64")
+            # frames per row, then the whole fan-out as numpy repeats —
+            # no per-row Python loop; only the per-frame byte slice (the
+            # stand-in for a real per-frame decode) touches objects
+            n = np.minimum(max_frames, np.maximum(1, lens // max(every_n, 1)))
+            idx = (
+                np.concatenate([np.arange(k) for k in n])
+                if len(n)
+                else np.array([], dtype="int64")
+            )
+            rep_payloads = np.repeat(payloads.to_numpy(dtype=object), n)
+            frames = [
+                p[i * every_n : (i + 1) * every_n] for p, i in zip(rep_payloads, idx)
+            ]
             yield pd.DataFrame(
-                {"media_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_bytes": frames,
+                }
             )
 
     return media.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)

@@ -242,3 +242,83 @@ def test_minhash_cc_keeps_one_per_component(spark):
     assert 1 in cc and 9 in cc
     assert 2 not in cc  # in A's component
     assert set(cc) <= set(single_pass) | {1, 9} or len(cc) <= len(single_pass) + 1
+
+
+def test_solve_bands_tracks_threshold():
+    # midpoint (1/b)^(1/r) must move with the threshold
+    b_lo, r_lo = dedupe.solve_bands(0.3, 16)
+    b_hi, r_hi = dedupe.solve_bands(0.9, 16)
+    assert b_lo * r_lo == 16 and b_hi * r_hi == 16
+    assert (1 / b_lo) ** (1 / r_lo) < (1 / b_hi) ** (1 / r_hi)
+
+
+def test_minhash_autoband_removes_dups_at_both_thresholds(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated content about engines")],
+        "doc_id long, text string",
+    )
+    for t in (0.5, 0.8):  # bands auto-solved from t (no hardcoded 8x2)
+        survivors = sorted(
+            r.doc_id
+            for r in dedupe.minhash_dedup(docs, threshold=t).select("doc_id").collect()
+        )
+        assert survivors == [1, 3], t
+
+
+def test_short_docs_are_unconditional_survivors(spark):
+    # sub-shingle-length docs share the empty shingle set; they must NOT
+    # verify as duplicates of each other (empty-vs-empty Jaccard = 0)
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "yo"), (3, "ok"), (4, "word pair"), (5, "")],
+        "doc_id long, text string",
+    )
+    survivors = sorted(
+        r.doc_id for r in dedupe.minhash_dedup(docs, threshold=0.5).select("doc_id").collect()
+    )
+    assert survivors == [1, 2, 3, 4, 5]
+
+
+def test_jaccard_empty_sets_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a b c d e")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedupe.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert got[(1, 2)] == 0.0
+    assert got[(1, 3)] == 0.0
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def test_asof_join_backward_and_missing_groups(spark):
+    from books2scrape_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (2, 50, 12), (3, 70, 13)],
+        "uid long, ts long, lval long",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 5.0), (1, 100, 6.0), (1, 150, 7.0), (2, 60, 8.0)],
+        "uid long, ts long, rval double",
+    )
+    rows = {
+        r.lval: (r.asof_ts, r.asof_rval)
+        for r in asof_join(left, right, on="ts", by=["uid"]).collect()
+    }
+    assert rows[10] == (100, 6.0)  # exact match allowed (<=), latest wins
+    assert rows[11] == (150, 7.0)  # backward: latest at-or-before 200
+    assert rows[12] == (None, None)  # right row at 60 > 50 -> no match
+    assert rows[13] == (None, None)  # uid 3 has no right group at all
+
+
+def test_asof_join_forward(spark):
+    from books2scrape_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1)], "uid long, ts long, lval long")
+    right = spark.createDataFrame(
+        [(1, 90, 5.0), (1, 130, 7.0)], "uid long, ts long, rval double"
+    )
+    [r] = asof_join(left, right, on="ts", by=["uid"], direction="forward").collect()
+    assert (r.asof_ts, r.asof_rval) == (130, 7.0)
