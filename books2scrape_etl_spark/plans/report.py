@@ -53,6 +53,19 @@ def summary_aggregates(
     )
 
 
+def format_summary(summary: dict) -> dict:
+    """Reference display formatting (airflow.py:104-105 parity):
+    ``total_inventory_value`` as ``f"${x:.2f}"`` and ``avg_rating`` as
+    ``f"{x:.2f}"``; counts pass through as ints. Returns a new dict of
+    display strings — raw numerics stay available in the input."""
+    out = dict(summary)
+    if summary.get("total_inventory_value") is not None:
+        out["total_inventory_value"] = f"${float(summary['total_inventory_value']):.2f}"
+    if summary.get("avg_rating") is not None:
+        out["avg_rating"] = f"{float(summary['avg_rating']):.2f}"
+    return out
+
+
 def observed_pipeline(df: DataFrame, inventory_col: str = "Inventory Value"):
     """S9 (observability) — attach an ``Observation`` so row counts and
     control totals ride along with whatever action the pipeline runs,
@@ -132,10 +145,12 @@ def send_report(html: str, subject: str = "Pipeline report") -> bool:
 
 
 def run_report(cleaned: DataFrame, **agg_cols: str) -> dict:
-    """Terminal action: aggregate -> collect one row -> render -> send."""
+    """Terminal action: aggregate -> collect one row -> render -> send.
+    The rendered HTML shows reference-formatted display values
+    (``$1,234.50`` / ``4.20``); the returned dict keeps raw numerics."""
     quality_gate(cleaned)
     row = summary_aggregates(cleaned, **agg_cols).collect()[0]
     summary = row.asDict()
-    html = render_html_report(summary)
+    html = render_html_report(format_summary(summary))
     send_report(html)
     return summary

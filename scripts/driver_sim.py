@@ -1,0 +1,106 @@
+"""Driver simulation (verify skill recipe): vanilla session, /tmp cwd,
+sf0.01 — entry smoke + every oracle-paired qname vs DuckDB, rows-only
+qnames counted. Mirrors the driver's CORRECTNESS check."""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as e  # noqa: E402
+
+SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+LIMIT = int(os.environ.get("SIM_LIMIT", "0"))  # 0 = all
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    if len(df) == 0:
+        return df.reset_index(drop=True)
+    key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+    return df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
+
+
+def values_match(s, o):
+    for col in s.columns:
+        for a, b in zip(s[col].values, o[col].values):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                if a_nan != b_nan:
+                    return f"{col}: {a!r} vs {b!r}"
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b:
+                    return f"{col}: {a!r} vs {b!r}"
+            elif str(a) != str(b):
+                return f"{col}: {a!r} vs {b!r}"
+    return None
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    assert os.getcwd() != "/root/repo", "run from outside the repo"
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+
+    t0 = time.time()
+    df = e.entry(spark)
+    rows = df.collect()
+    print(f"entry: {len(rows)} rows {df.schema.simpleString()[:80]} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = list(qs)
+    if LIMIT:
+        names = names[:LIMIT]
+    n_pass = n_fail = n_rowsonly = 0
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}"[:300], flush=True)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows {i:2d} {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)", flush=True)
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error {ex}"[:300], flush=True)
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}", flush=True)
+            n_fail += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: cols {sorted(sdf.columns)} vs {sorted(odf.columns)}", flush=True)
+            n_fail += 1
+            continue
+        diff = values_match(normalize(sdf), normalize(odf))
+        if diff:
+            print(f"FAIL {name}: value {diff}"[:300], flush=True)
+            n_fail += 1
+        else:
+            print(f"ok   {i:2d} {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)", flush=True)
+            n_pass += 1
+    print(json.dumps({"pass": n_pass, "fail": n_fail, "rows_only": n_rowsonly}))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,3 +56,78 @@ def test_observed_pipeline_metrics(spark):
     n = observed.count()  # the action the metrics piggyback on
     assert obs.get["rows_seen"] == n == len(BOOKS_RAW_ROWS)
     assert obs.get["inventory_total"] > 0
+
+
+def test_format_summary_reference_parity():
+    from books2scrape_etl_spark.plans.report import format_summary
+
+    got = format_summary(
+        {
+            "total_books": 20,
+            "total_categories": 5,
+            "total_inventory_value": 1031.8599999999999,
+            "avg_rating": 2.95,
+            "books_in_stock": 12,
+        }
+    )
+    # airflow.py:104-105: f"${x:.2f}" / f"{x:.2f}"
+    assert got["total_inventory_value"] == "$1031.86"
+    assert got["avg_rating"] == "2.95"
+    assert got["total_books"] == 20 and got["books_in_stock"] == 12
+
+
+def test_run_with_policy_retries_transient_failure():
+    from books2scrape_etl_spark.orchestration import run_with_policy
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert run_with_policy(flaky, retries=1, retry_delay=0.0) == "ok"
+    assert len(calls) == 2
+
+
+def test_run_with_policy_exhausted_fires_on_failure():
+    import pytest
+
+    from books2scrape_etl_spark.orchestration import run_with_policy
+
+    seen = []
+
+    def always_fails():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        run_with_policy(
+            always_fails, retries=2, retry_delay=0.0, on_failure=lambda e: seen.append(e)
+        )
+    assert len(seen) == 1 and isinstance(seen[0], ValueError)
+
+
+def test_run_with_policy_timeout():
+    import time
+
+    import pytest
+
+    from books2scrape_etl_spark.orchestration import PipelineTimeout, run_with_policy
+
+    with pytest.raises(PipelineTimeout):
+        run_with_policy(lambda: time.sleep(5), retries=0, timeout=0.2)
+
+
+def test_single_flight_blocks_second_entry():
+    import pytest
+
+    from books2scrape_etl_spark.orchestration import AlreadyRunning, single_flight
+
+    with single_flight("t_sf"):
+        with pytest.raises(AlreadyRunning):
+            with single_flight("t_sf"):
+                pass
+    # lock released -> re-entry fine
+    with single_flight("t_sf"):
+        pass

@@ -69,3 +69,36 @@ def test_session_window_gap_semantics(spark):
         (r.user_id, r.n_events) for r in session_windows_batch(ev, 30).collect()
     )
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_streaming_books_star_foreachbatch_idempotent(spark, tmp_path):
+    import os
+
+    from books2scrape_etl_spark.streaming.pipeline import (
+        land_one_batch,
+        streaming_books_star,
+    )
+    from tests.fixtures import books_raw_df
+
+    raw = books_raw_df(spark)
+    landing = str(tmp_path / "landing")
+    raw.repartition(2).write.parquet(landing)
+
+    out = str(tmp_path / "star")
+    fact = streaming_books_star(spark, landing, out_dir=out, max_files_per_trigger=1)
+    total = fact.count()
+    assert total == raw.count()  # every raw row landed exactly once
+    n_batches = fact.select("batch_id").distinct().count()
+    assert n_batches >= 2  # maxFilesPerTrigger=1 -> one batch per file
+
+    # replaying a batch id must overwrite, not append (exactly-once)
+    some_batch = fact.select("batch_id").distinct().collect()[0][0]
+    replay_rows = fact.where(fact["batch_id"] == some_batch).count()
+    land_one_batch(
+        spark,
+        raw.limit(replay_rows),
+        out,
+        int(some_batch),
+    )
+    again = spark.read.parquet(os.path.join(out, "fact"))
+    assert again.count() == total  # unchanged total: partition overwritten
