@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from books2scrape_etl_spark.functions.agg import oracle_sum_exact
 from books2scrape_etl_spark.functions.columns import (
     coalesce_default,
     extract_available_int,
@@ -318,3 +319,49 @@ def q_stream_books_star_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse_books(html_source(spark, DETAIL_PAGES)).repartition(2).write.parquet(landing)
     fact = streaming_books_star(spark, landing)
     return fact.groupBy("batch_id").count()
+
+
+@register("sim_ivf")  # rows-only: ANN recall is approximate by design
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path (trained variant) — IVF ANN top-k: spark.ml
+    k-means coarse quantizer, codegen'd nearest-centroid assignment,
+    n_probe-list candidate join (operators/similarity.py:ivf_topk)."""
+    from books2scrape_etl_spark.operators import similarity
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+
+
+@register(
+    "join_bucketed",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           {oracle_sum_exact('l.l_quantity', 2)} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (SURVEY §4.2 / NOTES deferred item):
+    both sides land as 8-bucket sorted tables, then join shuffle-free —
+    the oracle is the PLAIN join (bucketing must not change semantics).
+    The scratch write is part of the query by design: it demonstrates
+    the land-once/join-many layout."""
+    import os as _os
+
+    from books2scrape_etl_spark.functions.agg import sum_exact
+    from books2scrape_etl_spark.operators.scale import bucketed_join, write_bucketed
+
+    scratch = "/tmp/spark_graft_scratch"
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li = read_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = read_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, f"li_b_{tag}", "l_orderkey", 8, _os.path.join(scratch, f"li_b_{tag}"))
+    write_bucketed(o, f"o_b_{tag}", "o_orderkey", 8, _os.path.join(scratch, f"o_b_{tag}"))
+    joined = bucketed_join(spark, f"li_b_{tag}", f"o_b_{tag}", "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), sum_exact("l_quantity", 2).alias("sum_qty")
+    )

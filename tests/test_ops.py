@@ -322,3 +322,40 @@ def test_asof_join_forward(spark):
     )
     [r] = asof_join(left, right, on="ts", by=["uid"], direction="forward").collect()
     assert (r.asof_ts, r.asof_rval) == (130, 7.0)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    # probing every list recovers the exact result — the recall dial
+    # ends at correctness
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_id, r.rank): r.vec_id
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.q_id, r.rank): r.vec_id
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_lists=4, n_probe=4
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 3/8 lists probed; data-adaptive buckets

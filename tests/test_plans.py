@@ -76,3 +76,36 @@ def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert exchange_lines and all("fp" in l for l in exchange_lines)
     assert all("text" not in l for l in exchange_lines)  # docs never shuffle
+
+
+def test_topk_ordered_uses_take_ordered(spark, sf_dir):
+    plan = explain_str(QUERIES["topk_ordered"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan  # O1 top-k operator, no full output sort
+
+
+def test_window_suite_single_window_pass(spark, sf_dir):
+    # all four window expressions (rank, running sum, lag, lead) must
+    # evaluate in ONE WindowExec over one shuffle — not one per spec
+    plan = explain_str(QUERIES["window_suite"](spark, sf_dir), "simple")
+    assert plan.count("+- Window ") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_one_shuffle_per_side_with_pushdown(spark, sf_dir):
+    plan = explain_str(QUERIES["asof_join_general"](spark, sf_dir), "simple")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # one per side, on the by-key
+    # the event_type filters reach both parquet scans
+    assert plan.count("EqualTo(event_type,purchase)") == 1
+    assert plan.count("EqualTo(event_type,click)") == 1
+
+
+def test_bucketed_join_no_input_exchange(spark, sf_dir):
+    df = QUERIES["join_bucketed"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" in plan
+    # both inputs read pre-bucketed files: the ONLY exchange is the
+    # final aggregation's — neither join input shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    agg_line = next(l for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+    assert "o_orderpriority" in agg_line
