@@ -365,3 +365,55 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), sum_exact("l_quantity", 2).alias("sum_qty")
     )
+
+
+@register("books_datasource")  # rows-only: HTML-parsing source, no SQL form
+def q_books_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S4 as a FIRST-CLASS Spark source (Spark 4 Python Data Source
+    API, sources/datasource.py): one InputPartition per listing page,
+    declared schema, offline fixtures. The full extract stage becomes
+    spark.read.format('books') — composable with every downstream
+    operator like any parquet scan."""
+    from books2scrape_etl_spark.sources.datasource import register_books_source
+
+    register_books_source(spark)
+    return (
+        spark.read.format("books")
+        .option("pages", "2")
+        .option("fixtures", "true")
+        .load()
+        .select("Title", "Category", "Rating", "UPC")
+    )
+
+
+@register("books_stream_source_rt")  # rows-only: streaming HTML source
+def q_books_stream_source_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S4 streaming form — the books source as an INCREMENTAL
+    Structured Streaming source (SimpleDataSourceStreamReader): one
+    listing page per micro-batch, page offsets checkpointed, replay via
+    readBetweenOffsets. The incremental analogue of the reference's
+    rescrape-everything cron."""
+    import os
+    import tempfile
+    import uuid
+
+    from books2scrape_etl_spark.sources.datasource import register_books_source
+
+    register_books_source(spark)
+    name = f"books_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("books")
+        .option("pages", "2")
+        .option("fixtures", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("Category").count()

@@ -48,3 +48,25 @@ def test_parsed_books_flow_into_transform(spark):
     cleaned, dims, fact = transform_books(raw)
     assert fact.count() == 3
     assert cleaned.select("`Price (excl. tax)`").collect()[0][0] is not None
+
+
+def test_books_datasource_reads_fixtures(spark):
+    from books2scrape_etl_spark.sources.datasource import register_books_source
+
+    register_books_source(spark)
+    df = (
+        spark.read.format("books")
+        .option("pages", "2")
+        .option("fixtures", "true")
+        .load()
+    )
+    rows = df.collect()
+    # page 1 fixtures link all three detail pages; page 2 links none new
+    assert len(rows) >= 3
+    titles = {r["Title"] for r in rows}
+    assert "A Light in the Attic" in titles
+    # typed fields parsed, not raw strings
+    assert all(isinstance(r["Rating"], int) for r in rows)
+    assert all(r["No_of_books_in_Stock"] >= 0 for r in rows)
+    # partition count == pages (one per listing page)
+    assert df.rdd.getNumPartitions() == 2

