@@ -10,11 +10,16 @@ kdb+/QuestDB/DuckDB ASOF JOIN.
 Scale shape: ``groupBy(by).cogroup`` shuffles each side ONCE on the by
 key; every (key) group is then merged in a single Arrow-batched pandas
 call (sort + linear merge, O(n log n) in the group, no cross product).
-At 100 TB the shuffle carries only the projected columns, partition
-count follows spark.sql.shuffle.partitions, and skewed by-keys are the
-same problem (and get the same AQE treatment) as any other shuffle key.
-Spark has no native as-of join; this is the documented idiom
-(pandas-on-Spark's merge_asof uses the same cogroup plan underneath).
+At 100 TB the shuffle carries only the projected columns and partition
+count follows spark.sql.shuffle.partitions. Honest limit: each BY-KEY
+GROUP must fit one worker's memory (cogroup keys cannot be split by
+AQE) — right for the typical as-of shape (many instruments/users,
+bounded history each). For a mega-key, either pre-chunk the on-range
+(coarse time bucket added to `by`, right side duplicated into each
+bucket it borders) or use the single-stream window formulation
+(query_defs.q_join_asof). Spark has no native as-of join; this is the
+documented idiom (pandas-on-Spark's merge_asof uses the same cogroup
+plan underneath).
 """
 
 from __future__ import annotations

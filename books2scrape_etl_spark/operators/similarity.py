@@ -247,6 +247,11 @@ def ivf_topk(
 
     Pass precomputed ``centers`` to reuse a trained quantizer across
     queries (the production pattern: train once, index once, serve).
+
+    Honest limit: centroids are inlined as literal expressions —
+    n_lists * dim doubles inside codegen. Fine through a few hundred
+    lists; beyond that (IVF with 4k+ lists), switch the assignment to a
+    broadcast numpy matrix inside a pandas UDF (same join downstream).
     """
     if centers is None:
         centers = kmeans_centroids(

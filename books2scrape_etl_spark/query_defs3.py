@@ -417,3 +417,28 @@ def q_books_stream_source_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).groupBy("Category").count()
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas talks to the JVM state server over
+    # protobuf; the container has no google.protobuf, so the qname is
+    # registered only where the API can actually run (env gate per the
+    # no-install rule — the operator itself is implemented and tested
+    # wherever protobuf exists).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+if _has_protobuf():
+
+    @register("stream_tws_rt")  # rows-only: real readStream execution
+    def q_stream_tws_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """T6b — transformWithStateInPandas (Spark 4 typed-state API):
+        per-user running count + exact-cents value sum."""
+        from books2scrape_etl_spark.streaming import windows as stream_ops
+
+        return stream_ops.stateful_session_agg_tws(spark, sf_dir)

@@ -170,3 +170,48 @@ def stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf="NoTimeout",
     )
     return _drain_to_memory(out, "update")
+
+
+def stateful_session_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6b — the Spark 4 ``transformWithStateInPandas`` surface: typed
+    per-key ValueState (running count + exact-cents value sum per user)
+    through a StatefulProcessor. Differs from applyInPandasWithState
+    (T6) in state typing, multiple named state variables, timers, and
+    eviction hooks — the API new stateful operators should target;
+    the older surface stays for parity. Exact-cents accumulation keeps
+    the emitted sums deterministic under any batch split."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._state.exists():
+                n, cents = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType="user_id long, n_events long, value_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain_to_memory(out, "update")

@@ -109,3 +109,36 @@ def test_bucketed_join_no_input_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     agg_line = next(l for l in plan.splitlines() if "Exchange hashpartitioning" in l)
     assert "o_orderpriority" in agg_line
+
+
+def test_plan_lint_whole_registry(spark, sf_dir):
+    """Scale-regression gate over EVERY registered query plan:
+
+    - no CartesianProduct anywhere (an unintended cross join at 100 TB
+      is a run-forever plan);
+    - no row-at-a-time Python UDFs (BatchEvalPython) — Python crossings
+      must be Arrow-batched (ArrowEvalPython / FlatMapCoGroups /
+      MapInPandas);
+    - no forced broadcast that Catalyst resolved into a plain
+      SortMergeJoin on BOTH sides being fact tables (would mean a hint
+      survived onto fact-sized input — belt braces for the flagship fix).
+
+    Real-stream queries (*_rt) execute on invocation, so they are
+    exercised by their own tests instead.
+    """
+    from books2scrape_etl_spark.queries import ORACLE_SQL
+
+    # udtf_sentences IS the deliberate row-at-a-time surface: a Python
+    # UDTF demonstrating the imperative 1->N API (the relational
+    # explode_split is the default path and stays lint-clean)
+    row_python_ok = {"udtf_sentences"}
+    skipped = 0
+    for qname, fn in QUERIES.items():
+        if qname.endswith("_rt"):
+            skipped += 1
+            continue
+        plan = explain_str(fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, qname
+        if qname not in row_python_ok:
+            assert "BatchEvalPython" not in plan, qname
+    assert skipped >= 6  # the rt family exists and was excluded

@@ -79,3 +79,48 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     }
     assert len(multi & exact) >= len(single & exact)  # probing more never hurts
     assert len(multi) >= len(single)
+
+
+def test_asof_join_matches_pandas_reference(spark):
+    """For ANY randomly generated left/right event sets: the cogrouped
+    asof_join result equals a driver-side per-key pd.merge_asof."""
+    import pandas as pd
+
+    from books2scrape_etl_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    uids = [1, 2, 3, 4, 5]
+    left_rows = [
+        (rng.choice(uids), rng.randint(0, 1000), i) for i in range(120)
+    ]
+    # uid 5 never appears on the right; right has duplicate timestamps
+    right_rows = [
+        (rng.choice(uids[:4]), rng.choice([0, 100, 100, 250, 500, 750, 1000]), float(i))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, "uid long, ts long, lval long")
+    right = spark.createDataFrame(right_rows, "uid long, ts long, rval double")
+
+    got = {
+        (r.uid, r.ts, r.lval): r.asof_ts
+        for r in asof_join(left, right, on="ts", by=["uid"]).collect()
+    }
+    assert len(got) == len(left_rows)
+
+    lpdf = pd.DataFrame(left_rows, columns=["uid", "ts", "lval"])
+    rpdf = pd.DataFrame(right_rows, columns=["uid", "ts", "rval"])
+    for uid in uids:
+        lg = lpdf[lpdf.uid == uid].sort_values("ts", kind="mergesort")
+        rg = rpdf[rpdf.uid == uid].sort_values("ts", kind="mergesort")
+        if len(lg) == 0:
+            continue
+        if len(rg) == 0:
+            for t in lg.itertuples():
+                assert got[(uid, t.ts, t.lval)] is None
+            continue
+        merged = pd.merge_asof(
+            lg, rg[["ts"]].assign(asof_ts=rg.ts), on="ts", direction="backward"
+        )
+        for t in merged.itertuples():
+            want = None if pd.isna(t.asof_ts) else int(t.asof_ts)
+            assert got[(uid, t.ts, t.lval)] == want, (uid, t.ts)

@@ -1,6 +1,7 @@
 """Structured Streaming tests: real readStream runs drained with
 availableNow, checked against their batch-equivalent semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
@@ -133,3 +134,27 @@ def test_books_datasource_streams_one_page_per_batch(spark, tmp_path):
     assert len(rows) == len({r["UPC"] for r in rows} | {None}) - (
         0 if all(r["UPC"] for r in rows) else 1
     ) or len(rows) == len([r["UPC"] for r in rows])
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithStateInPandas needs protobuf"
+    )
+    from books2scrape_etl_spark.streaming.windows import stateful_session_agg_tws
+
+    out = stateful_session_agg_tws(spark, sf_dir)
+    rows = {r.user_id: (r.n_events, r.value_cents) for r in out.collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pyspark.sql.functions as F
+
+    exp = {
+        r.user_id: (r.n, r.cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    # final state per user equals the batch aggregate
+    assert {u: v for u, v in rows.items()} == exp
