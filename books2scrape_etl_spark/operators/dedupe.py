@@ -339,11 +339,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     (The logarithmic-round alternative is large-star/small-star
     contraction [Kiveris et al. 2014]; not needed at dedup diameters.)
     If ``max_iter`` is exhausted before fixpoint, a warning is emitted —
-    labels would be silently wrong otherwise. Iterations are persisted
-    and the previous generation unpersisted — the lineage stays O(1)
-    deep, which is what keeps an iterative algorithm viable on a real
-    cluster (an unbounded lineage chain re-executes everything on
-    failure).
+    labels would be silently wrong otherwise. Each generation is
+    ``localCheckpoint``-ed, not merely persisted: caching keeps the
+    data but the logical plan still nests (each round references the
+    previous twice), so plan size doubles per round and the optimizer
+    dies on long iterations; checkpointing truncates lineage to the
+    materialized blocks — also what keeps recovery cost O(1) rounds on
+    a real cluster (there, prefer ``setCheckpointDir`` + reliable
+    ``checkpoint()`` for executor-loss fault tolerance).
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -372,7 +375,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -398,6 +401,118 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the logarithmic-round alternative to
+    :func:`connected_components`'s O(diameter) min-label propagation.
+
+    - **large-star**: every node points its LARGER neighbors at the
+      minimum of its closed neighborhood;
+    - **small-star**: every node points its smaller neighbors (and
+      itself) at that minimum.
+
+    Each round halves the height of any path in expectation, so a
+    length-D chain converges in O(log D) rounds where propagation needs
+    D — the variant to reach for when similarity graphs have long thin
+    chains (propagation stays the default: dedup components are dense
+    clusters of near-copies with tiny diameters, and its per-round plan
+    is one join + one agg vs the star rounds' two grouped joins).
+
+    Both phases are hash-partitioned self-aggregations on node ids —
+    edges (pairs of longs) are all that shuffles, never payloads. Each
+    generation is ``localCheckpoint``-ed: caching alone is NOT enough
+    for iterative plans (persist keeps the data but the LOGICAL plan
+    still nests — each round references the previous ~6×, so plan size
+    grows exponentially and the optimizer stack-overflows within a few
+    rounds); checkpointing truncates the lineage to the materialized
+    blocks. On a real cluster prefer ``setCheckpointDir`` + reliable
+    ``checkpoint()`` for fault tolerance — localCheckpoint recomputes
+    from scratch if an executor dies. Returns (doc_id, component),
+    component = min reachable id, for every node appearing in ``pairs``.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        return (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = canon(e)
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        to_neighbors = (
+            oriented.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        to_self = mins.select("u", F.col("m").alias("v"))
+        return to_neighbors.union(to_self).where(F.col("u") != F.col("v"))
+
+    def fingerprint(e: DataFrame):
+        # bit_xor is order-independent and overflow-free (ANSI-safe);
+        # edges are distinct by construction so xor never self-cancels.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    edges = canon(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    fp = fingerprint(edges)
+
+    converged = False
+    for _ in range(max_iter):
+        new_edges = canon(small_star(large_star(edges))).localCheckpoint(eager=True)
+        new_fp = fingerprint(new_edges)
+        edges = new_edges
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: no fixpoint after {max_iter} rounds; "
+            "labels may split components (raise max_iter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    # At the fixpoint the edge set is a star forest oriented (child, root);
+    # isolated-after-contraction roots label themselves.
+    labels = (
+        nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
+        .select("doc_id", F.coalesce(F.col("v"), F.col("doc_id")).alias("component"))
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=True)  # materialize before dropping inputs
+    )
+    nodes.unpersist()
+    return labels
+
+
 def minhash_dedup_cc(
     docs: DataFrame,
     text_col: str = "text",
@@ -406,6 +521,7 @@ def minhash_dedup_cc(
     rows: int | None = None,
     shingle_n: int = 3,
     num_hashes: int = 16,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """L2 (exact grouping variant) — near-dup removal keeping exactly one
     doc per connected component of the verified-similar graph.
@@ -414,6 +530,10 @@ def minhash_dedup_cc(
     chains: for A~B~C (A!~C), the single-pass rule drops B and C; the
     component rule keeps only min(A,B,C)=A. Costs extra iteration
     rounds — the price of exact transitive grouping.
+
+    ``algorithm``: ``"propagation"`` (default, O(diameter) rounds, one
+    join+agg per round) or ``"star"`` (large-star/small-star, O(log)
+    rounds — for long-chain similarity graphs).
     """
     if bands is None or rows is None:
         bands, rows = solve_bands(threshold, num_hashes)
@@ -438,6 +558,7 @@ def minhash_dedup_cc(
         .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
         .select("id_a", "id_b")
     )
-    comp = connected_components(verified_pairs)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(verified_pairs)
     dupes = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(dupes, "doc_id", "left_anti")

@@ -1,0 +1,115 @@
+"""Deterministic corpus sampling — train/val/test splits and dataset
+mixture weighting over the ``documents`` table (SURVEY.md §2.11
+training-pipeline extension; the reference has no sampling stage —
+``extract_pipeline.py`` re-scrapes everything every run).
+
+Training-data pipelines need REPRODUCIBLE sampling: the same document
+must land in the same split on every run, at any cluster size, with no
+RNG state and no coordination. Hash-bucket assignment delivers that:
+
+    bucket(key) = int(md5(key)[:8 hex digits]) mod n_buckets
+
+is a pure per-row projection — no shuffle, no RNG seed to ship, no
+sort — and any engine can re-derive it (the DuckDB oracle computes the
+same buckets independently, so the split is hard-verifiable).
+
+Scale notes (100 TB posture):
+
+- Everything here is a narrow projection + filter: zero shuffles, fully
+  pushed into the scan stage, embarrassingly parallel. ``split_assign``
+  on 100 TB is exactly as parallel as the scan itself.
+- md5 (not Spark's faster ``xxhash64``) is deliberate: the bucket
+  function is part of the DATA CONTRACT — downstream consumers and
+  other engines must agree on which doc is in which split forever.
+  md5 of a short key is a few ns JVM-side (commons-codec, inside
+  whole-stage codegen via the builtin); the portability is worth it.
+- Mixture oversampling (weight > 1) materializes copies via
+  ``explode(sequence(...))`` — row fan-out happens AFTER the filter
+  and AFTER column pruning, so only surviving rows are duplicated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.util import to_col
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 hex digits of
+    md5(key) as an int, mod n_buckets. Engine-portable (DuckDB twin:
+    ``CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) % n``)."""
+    hex8 = F.substring(F.md5(to_col(key).cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("bigint") % n_buckets).alias("bucket")
+
+
+def split_assign(
+    df: DataFrame,
+    key: Column | str,
+    fractions: Mapping[str, float] | None = None,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split by
+    cumulative bucket thresholds. Default 90/5/5 train/val/test.
+
+    Assignment is a function of the KEY alone: stable across runs,
+    re-partitions, and engines; growing the corpus never moves an
+    existing document between splits (the property RNG sampling lacks).
+    """
+    fractions = dict(fractions or {"train": 0.90, "val": 0.05, "test": 0.05})
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key, n_buckets)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * n_buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source: Column | str,
+    key: Column | str,
+    weights: Mapping[str, float],
+    default_weight: float = 1.0,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic dataset-mixture weighting: keep/duplicate rows per
+    source so that source s contributes ~weight(s) epochs of itself.
+
+    - weight < 1 downsamples: keep iff bucket < weight * n_buckets.
+    - weight > 1 oversamples: ``ceil(weight) - 1`` full copies plus a
+      fractional epoch drawn by the same bucket rule, materialized with
+      one ``explode(sequence(1, n_copies))`` (an ``epoch`` column tags
+      the copies so downstream shuffles can still dedup per epoch).
+
+    The fractional epoch reuses the per-key bucket, so it is the SAME
+    deterministic subset every run — how production mixtures pin their
+    partial epochs (a fresh RNG draw per run would defeat caching and
+    make ablations irreproducible).
+    """
+    src = to_col(source)
+    w: Column = F.lit(float(default_weight))
+    for name, weight in sorted(weights.items()):
+        w = F.when(src == name, float(weight)).otherwise(w)
+    bucket = hash_bucket(key, n_buckets)
+    n_full = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    takes_frac = bucket < (frac * n_buckets).cast("bigint")
+    n_copies = n_full + takes_frac.cast("int")
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+        .drop("n_copies")
+    )

@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 from books2scrape_etl_spark import query_defs  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs2  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs3  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -52,11 +53,13 @@ WINDOW: tuple[str, ...] = (
     "flagship", "tpch_q3", "tpch_q5", "corpus_curation",
     "sim_cosine", "embed_norm", "text_stats", "lang_dist", "multimodal_bytes",
     "dedup_exact", "ngram_jaccard",
+    # training-data pipeline (deterministic sampling / mixture / packing)
+    "split_train_test", "corpus_mixture", "pack_next_fit",
     # joins / SQL surfaces
-    "asof_join_general", "join_asof", "sql_api",
+    "asof_join_general", "sql_api",
     "pivot", "unpivot", "scalar_subquery", "correlated_subquery", "in_subquery",
-    "grouping_sets", "agg_having", "agg_stats",
-    "string_funcs", "math_funcs", "date_funcs",
+    "grouping_sets", "agg_having",
+    "scalar_funcs_suite", "date_funcs",
     "udaf_grouped", "grouped_map", "partition_pruning",
     "surrogate_key_scale", "join_salted", "explode_split",
     # component suites (each packs 2-5 single-operator qnames)

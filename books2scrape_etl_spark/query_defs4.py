@@ -1,0 +1,267 @@
+"""Wave-4 qnames — training-data pipeline operators (deterministic
+sampling, mixture weighting, sequence packing, star-contraction CC) and
+the scalar-function consolidation suite.
+
+The sampling/packing operators have no reference analogue (the
+reference emits one CSV row per book, extract_pipeline.py:10-94); they
+are the LLM-corpus extension the task brief names as first-class. Each
+oracle-paired entry re-derives the SAME deterministic rule in DuckDB —
+including the next-fit packer, whose oracle is a recursive CTE — so the
+driver gets hard value-level evidence, not rows-only counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.queries import register
+
+# Engine-portable bucket rule (operators/sampling.py:hash_bucket) in
+# DuckDB form — substitute the key expression.
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+
+
+@register(
+    "scalar_funcs_suite",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           substring(p_name, 1, 5) AS sub5,
+           lpad(p_brand, 12, '.') AS padded,
+           levenshtein(p_brand, 'Brand#11') AS lev,
+           concat_ws('|', p_brand, p_type) AS joined,
+           translate(p_type, 'ae', 'AE') AS translated,
+           length(p_name) AS len,
+           CAST(floor(p_retailprice) AS BIGINT) AS fl,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+           abs(p_retailprice - 1000.0) AS ab,
+           CAST(p_partkey % 7 AS BIGINT) AS md,
+           sqrt(p_size) AS sq,
+           round(p_retailprice / 3.0, 2) AS rd
+    FROM part
+    """,
+)
+def q_scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string + math families in ONE part scan (the per-family
+    qnames ``string_funcs`` / ``math_funcs`` stay registered after the
+    window): case/substring/pad/edit-distance/concat/translate/length
+    plus the IEEE-exact math set (floor/ceil/abs/mod/sqrt, one explicit
+    round — transcendentals excluded: libm differs in the last ulp
+    across engines). All codegen'd builtins, zero shuffles."""
+    p = read_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.lpad("p_brand", 12, ".").alias("padded"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.translate("p_type", "ae", "AE").alias("translated"),
+        F.length("p_name").alias("len"),
+        F.floor("p_retailprice").alias("fl"),
+        F.ceil("p_retailprice").alias("ce"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("ab"),
+        (F.col("p_partkey") % 7).alias("md"),
+        F.sqrt("p_size").alias("sq"),
+        F.round(F.col("p_retailprice") / 3.0, 2).alias("rd"),
+    )
+
+
+@register(
+    "split_train_test",
+    f"""
+    WITH b AS (SELECT doc_id, {_BUCKET_SQL.format(key="doc_id")} AS bucket
+               FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment over documents
+    (operators/sampling.py:split_assign): bucket = md5-hash of doc_id
+    mod 1000, split by cumulative thresholds. Pure projection — no
+    shuffle, no RNG; the oracle re-derives every bucket independently,
+    so the check pins per-document placement, not just split sizes."""
+    from books2scrape_etl_spark.operators.sampling import split_assign
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+    return split_assign(docs, "doc_id")
+
+
+@register(
+    "corpus_mixture",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             {_BUCKET_SQL.format(key="doc_id")} AS bucket,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                         WHEN 'src2' THEN 0.5 ELSE 0.25 END AS wt
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, bucket,
+             CAST(floor(wt) AS INTEGER)
+             + CASE WHEN bucket < CAST((wt - floor(wt)) * 1000 AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM w)
+    SELECT doc_id, source, bucket,
+           CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch
+    FROM c
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset-mixture weighting
+    (operators/sampling.py:mixture_sample): src0 upsampled to 2.5
+    epochs (2 full copies + a pinned fractional subset), src1 kept,
+    src2 halved, the rest at 0.25. The epoch column tags copies. The
+    oracle re-derives copy counts per document and fans out with a
+    lateral generate_series — value-level parity on the exact
+    kept/duplicated multiset via unnest(generate_series), weights
+    chosen as exact binary fractions so both engines' float arithmetic
+    agrees bit-for-bit."""
+    from books2scrape_etl_spark.operators.sampling import mixture_sample
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return mixture_sample(
+        docs, "source", "doc_id", {"src0": 2.5, "src1": 1.0, "src2": 0.5}, default_weight=0.25
+    )
+
+
+@register(
+    "pack_next_fit",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                  AS BIGINT) AS rn
+      FROM documents),
+    state AS (
+      SELECT lang, doc_id, n_chars, rn, n_chars AS acc,
+             CAST(1 AS BIGINT) AS pack_id
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.doc_id, d.n_chars, d.rn,
+             CASE WHEN s.acc + d.n_chars > 2048
+                  THEN d.n_chars ELSE s.acc + d.n_chars END,
+             CASE WHEN s.acc + d.n_chars > 2048
+                  THEN s.pack_id + 1 ELSE s.pack_id END
+      FROM state s JOIN docs d ON d.lang = s.lang AND d.rn = s.rn + 1)
+    SELECT lang, doc_id, n_chars, pack_id FROM state
+    """,
+)
+def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py:pack_next_fit): documents
+    packed per language into 2048-char windows, next-fit in doc_id
+    order. The Spark side packs each group inside one applyInPandas
+    kernel; the oracle REPLAYS the same sequential recurrence as a
+    recursive CTE — an independent engine deriving identical pack ids
+    is the strongest available evidence for an order-sensitive op."""
+    from books2scrape_etl_spark.operators.packing import pack_next_fit
+
+    docs = read_table(spark, "documents", sf_dir)
+    return pack_next_fit(docs, "lang", "doc_id", "n_chars", 2048)
+
+
+@register(
+    "vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE token <> '' GROUP BY token)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+    FROM counts
+    QUALIFY rank <= 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build — top-100 whitespace tokens by frequency
+    (the counting stage of any tokenizer/vocab training). explode is a
+    generator inside the scan stage; the count is a partial+final agg
+    on token (only (token, count) pairs shuffle — never documents);
+    top-k plans as TakeOrderedAndProject with a deterministic (count
+    desc, token asc) tiebreak."""
+    docs = read_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.select("token", "cnt", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 100)
+    )
+
+
+@register(
+    "shuffle_shards",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS sort_key
+      FROM documents)
+    SELECT doc_id, sort_key, CAST(sort_key % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY sort_key % 8
+                                   ORDER BY sort_key, doc_id) AS INTEGER) AS pos
+    FROM s
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle + sharding: the md5 sort key
+    is a pseudo-random but reproducible permutation (same order every
+    run, any cluster size — RNG shuffles are neither), shard = key mod
+    8, pos = position within shard. At scale the window rank is
+    verification-only — the production form is repartition(shard) +
+    sortWithinPartitions(sort_key), which shuffles once and never
+    global-sorts."""
+    from books2scrape_etl_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id")
+    keyed = docs.select(
+        "doc_id", hash_bucket("doc_id", 1 << 32).alias("sort_key")
+    ).withColumn("shard", F.col("sort_key") % 8)
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return keyed.select(
+        "doc_id", "sort_key", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+@register("pack_ffd")  # rows-only: FFD's bin scan has no tractable SQL twin
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing quality summary per language
+    (operators/packing.py): tighter packs than next-fit (≤ 11/9·OPT),
+    deterministic via (size desc, id asc) placement order. Unit tests
+    pin the invariants (capacity respected, every doc exactly once,
+    fill ratio ≥ next-fit's)."""
+    from books2scrape_etl_spark.operators.packing import pack_first_fit_decreasing, pack_stats
+
+    docs = read_table(spark, "documents", sf_dir)
+    packed = pack_first_fit_decreasing(docs, "lang", "doc_id", "n_chars", 2048)
+    return pack_stats(packed, "lang", "n_chars", 2048).orderBy("lang")
+
+
+@register("dedup_cc_star")  # rows-only: iterative algorithm, no SQL twin
+def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact-grouping dedup with large-star/small-star connected
+    components (operators/dedupe.py:connected_components_star — O(log)
+    rounds vs propagation's O(diameter); Kiveris et al. 2014). Unit
+    tests verify both CC implementations agree with a union-find ground
+    truth on chains and random graphs."""
+    from books2scrape_etl_spark.operators.dedupe import minhash_dedup_cc
+
+    docs = read_table(spark, "documents", sf_dir)
+    out = minhash_dedup_cc(docs, threshold=0.6, algorithm="star")
+    return out.select("doc_id", "lang", "source", "n_chars")

@@ -1,0 +1,216 @@
+"""Unit + property tests for the wave-4 training-pipeline operators:
+deterministic sampling, mixture weighting, sequence packing, and
+large-star/small-star connected components."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.operators.dedupe import (
+    connected_components,
+    connected_components_star,
+)
+from books2scrape_etl_spark.operators.packing import (
+    _ffd_kernel,
+    _next_fit_kernel,
+    pack_first_fit_decreasing,
+    pack_next_fit,
+    pack_stats,
+)
+from books2scrape_etl_spark.operators.sampling import (
+    hash_bucket,
+    mixture_sample,
+    split_assign,
+)
+
+# --- sampling --------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_assign_deterministic_and_complete(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = {r.doc_id: (r.bucket, r.split) for r in split_assign(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: (r.bucket, r.split)
+        for r in split_assign(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent, run-independent
+    assert len(a) == docs.count()
+    assert all(0 <= bucket < 1000 for bucket, _ in a.values())
+    assert {s for _, s in a.values()} <= {"train", "val", "test"}
+    n = len(a)
+    n_train = sum(1 for _, s in a.values() if s == "train")
+    assert 0.8 * n <= n_train <= 0.97 * n  # ~90% with small-sample slack
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    # Adding documents never moves an existing one between splits.
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(small, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in split_assign(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_mixture_sample_copy_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "up") for i in range(200)]
+        + [(1000 + i, "keep") for i in range(200)]
+        + [(2000 + i, "down") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(
+        df, "source", "doc_id", {"up": 2.5, "keep": 1.0, "down": 0.5}
+    ).collect()
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = max(per_doc.get(r.doc_id, 0), r.epoch)
+        assert r.epoch >= 1
+    ups = [per_doc.get(i, 0) for i in range(200)]
+    keeps = [per_doc.get(1000 + i, 0) for i in range(200)]
+    downs = [per_doc.get(2000 + i, 0) for i in range(200)]
+    assert set(ups) == {2, 3}  # 2 full epochs + pinned fractional subset
+    assert 0.3 < sum(u == 3 for u in ups) / 200 < 0.7  # ~50% take epoch 3
+    assert set(keeps) == {1}
+    assert set(downs) <= {0, 1} and 0.3 < sum(downs) / 200 < 0.7
+    # epochs are contiguous 1..n per doc
+    n_rows = sum(per_doc.values())
+    assert len(out) == n_rows
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    import duckdb
+
+    ids = list(range(50))
+    got = {
+        r.doc_id: r.b
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", hash_bucket("doc_id").alias("b"))
+        .collect()
+    }
+    want = {
+        i: duckdb.sql(
+            f"SELECT CAST(('0x' || substr(md5('{i}'), 1, 8)) AS BIGINT) % 1000"
+        ).fetchone()[0]
+        for i in ids
+    }
+    assert got == want
+
+
+# --- packing ---------------------------------------------------------------
+
+
+def _check_packing(rows, max_size, sizes_by_id):
+    # every doc exactly once
+    seen = [r.doc_id for r in rows]
+    assert sorted(seen) == sorted(sizes_by_id)
+    # capacity respected except singleton-oversize packs
+    packs: dict[tuple, list] = {}
+    for r in rows:
+        packs.setdefault((r.lang, r.pack_id), []).append(sizes_by_id[r.doc_id])
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(members) <= max_size
+    return packs
+
+
+def test_pack_next_fit_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sizes = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    rows = pack_next_fit(docs, "lang", "doc_id", "n_chars", 2048).collect()
+    packs = _check_packing(rows, 2048, sizes)
+    # pack ids contiguous from 1 per lang
+    by_lang: dict[str, set] = {}
+    for (lang, pid), _ in packs.items():
+        by_lang.setdefault(lang, set()).add(pid)
+    for pids in by_lang.values():
+        assert pids == set(range(1, len(pids) + 1))
+
+
+def test_pack_ffd_tighter_than_next_fit(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sizes = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    ffd = pack_first_fit_decreasing(docs, "lang", "doc_id", "n_chars", 2048)
+    _check_packing(ffd.collect(), 2048, sizes)
+    nf_packs = (
+        pack_stats(pack_next_fit(docs, "lang", "doc_id", "n_chars", 2048), "lang", "n_chars", 2048)
+        .agg(F.sum("n_packs"))
+        .collect()[0][0]
+    )
+    ffd_packs = pack_stats(ffd, "lang", "n_chars", 2048).agg(F.sum("n_packs")).collect()[0][0]
+    assert ffd_packs <= nf_packs
+
+
+def test_pack_kernels_oversize_and_determinism():
+    import numpy as np
+
+    sizes = np.array([3000, 100, 2048, 5, 2044], dtype=np.int64)
+    nf = _next_fit_kernel(sizes, 2048)
+    assert nf[0] == 1  # oversize doc -> singleton pack, never dropped
+    assert list(nf) == list(_next_fit_kernel(sizes, 2048))
+    ffd = _ffd_kernel(sizes, 2048)
+    assert list(ffd) == list(_ffd_kernel(sizes, 2048))
+    # FFD pairs 100+5+... : capacity respected for multi-member packs
+    for p in set(ffd):
+        members = sizes[ffd == p]
+        if len(members) > 1:
+            assert members.sum() <= 2048
+
+
+# --- connected components (star) -------------------------------------------
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_star_long_chain(spark):
+    # A 60-node chain: diameter 60, but star contraction needs O(log) rounds.
+    edges = [(i, i + 1) for i in range(59)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.component for r in connected_components_star(pairs, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_cc_star_matches_union_find_random(spark):
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+        )
+        if a != b
+    ]
+    want = _union_find(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.component for r in connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_cc_star_agrees_with_propagation(spark):
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r.doc_id: r.component for r in connected_components_star(pairs).collect()}
+    prop = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert star == prop
