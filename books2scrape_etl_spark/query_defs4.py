@@ -239,6 +239,68 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE prefix: winnowing fingerprints (operators/winnow.py) in
+# DuckDB form — normalize, all 8-grams, portable md5-prefix hash,
+# min over the trailing-8 window (prefix windows for pos < 8), distinct.
+_WINNOW_FPS_CTE = """
+    n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
+      FROM n WHERE length(t) >= 8),
+    h AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(substr(t, pos, 8)), 1, 8)) AS BIGINT) AS hash
+      FROM g),
+    m AS (
+      SELECT doc_id,
+             min(hash) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+      FROM h),
+    fps AS (SELECT DISTINCT doc_id, fp FROM m)
+"""
+
+
+@register("winnow_fingerprint", f"WITH {_WINNOW_FPS_CTE} SELECT doc_id, fp FROM fps")
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 rolling-hash fingerprinting (operators/winnow.py, MOSS-style
+    winnowing, k=8 w=8): per-document distinct window-minimum k-gram
+    hashes. Map-side Catalyst gram hashing + one Arrow pandas UDF for
+    the sliding min — zero shuffles. The oracle replays the identical
+    rule through an unnest + SQL window, pinning every fingerprint
+    value, not just counts."""
+    from books2scrape_etl_spark.operators.winnow import winnow_fingerprints
+
+    docs = read_table(spark, "documents", sf_dir)
+    return winnow_fingerprints(docs, k=8, w=8)
+
+
+@register(
+    "winnow_candidates",
+    f"""
+    WITH {_WINNOW_FPS_CTE},
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM kept a JOIN kept b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs via shared winnowing fingerprints
+    (≥3 shared, document-frequency cap 50 to drop boilerplate AND bound
+    per-fingerprint join fan-out — the skew guard). An equi-join on
+    fingerprint value, like the LSH band join: all-pairs never
+    materializes."""
+    from books2scrape_etl_spark.operators.winnow import winnow_candidates
+
+    docs = read_table(spark, "documents", sf_dir)
+    return winnow_candidates(docs, max_df=50, min_shared=3)
+
+
 @register("pack_ffd")  # rows-only: FFD's bin scan has no tractable SQL twin
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing quality summary per language
