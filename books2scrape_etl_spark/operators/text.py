@@ -119,3 +119,80 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the count of the most frequent element — via one ``aggregate`` fold
+    (accumulator: previous element, current run, best run). Lambda
+    bodies touch only the accumulator and element, so nothing outer is
+    re-inlined per element."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.1,
+) -> DataFrame:
+    """L4 — repetition metrics per document, the word-level analogue of
+    the Gopher repetition filters (Rae et al. 2021 §A1.1: duplicate-line
+    / top-n-gram fractions; these documents are single-line, so the
+    units are words and word-bigrams):
+
+    - ``dup_word_frac``: fraction of words that repeat an earlier word;
+    - ``top_word_frac``: count of the most frequent word / word count;
+    - ``top_bigram_frac``: count of the most frequent adjacent bigram /
+      bigram count;
+    - ``keep``: all three under their thresholds — the corpus-filter
+      verdict.
+
+    Entirely Catalyst higher-order functions on the word array (sort,
+    distinct, zip_with, one aggregate fold per metric): map-side, zero
+    shuffles, no Python. Fractions are BIGINT/BIGINT IEEE divisions, so
+    the DuckDB oracle (which derives the same counts by unnest+GROUP BY
+    instead of a fold — an independent formulation) matches
+    bit-for-bit.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(words).cast("long")
+    nd = F.size(F.array_distinct(words)).cast("long")
+    top_w = _max_run(F.array_sort(words))
+    n_bg = F.greatest(n - 1, F.lit(0).cast("long"))
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_bg.cast("int")),
+        F.slice(words, 2, n_bg.cast("int")),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bg = _max_run(F.array_sort(bigrams))
+    one = F.lit(1).cast("long")
+    dup_frac = (n - nd).cast("double") / F.greatest(n, one)
+    topw_frac = top_w.cast("double") / F.greatest(n, one)
+    topbg_frac = top_bg.cast("double") / F.greatest(n_bg, one)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        topw_frac.alias("top_word_frac"),
+        topbg_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac <= max_dup_word_frac)
+            & (topw_frac <= max_top_word_frac)
+            & (topbg_frac <= max_top_bigram_frac)
+        ).alias("keep"),
+    )

@@ -53,8 +53,9 @@ WINDOW: tuple[str, ...] = (
     "flagship", "tpch_q3", "tpch_q5", "corpus_curation",
     "sim_cosine", "embed_norm", "text_stats", "lang_dist", "multimodal_bytes",
     "dedup_exact", "ngram_jaccard",
-    # training-data pipeline (deterministic sampling / mixture / packing)
+    # training-data pipeline (sampling / mixture / packing / fingerprint)
     "split_train_test", "corpus_mixture", "pack_next_fit",
+    "winnow_fingerprint", "winnow_candidates", "repetition_stats", "vocab_topk",
     # joins / SQL surfaces
     "asof_join_general", "sql_api",
     "pivot", "unpivot", "scalar_subquery", "correlated_subquery", "in_subquery",
@@ -66,11 +67,11 @@ WINDOW: tuple[str, ...] = (
     "columns_part_suite", "columns_lineitem_suite", "distinct_suite",
     "semi_anti_suite", "set_ops_suite", "window_suite", "topk_ordered",
     "json_map_ops",
+    # consolidated component suites for sources / cleaning / streaming
+    # (the standalone singles stay registered right after the window)
+    "sources_suite", "clean_suite", "stream_windows_suite",
     # representative singles for the remaining components
-    "range_source", "scan_parquet", "scan_csv",
-    "clean_currency", "clean_description",
     "join_fact", "join_sortmerge", "agg_summary", "array_ops",
-    "stream_tumbling", "stream_session",
 )
 
 

@@ -239,6 +239,60 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_stats",
+    """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents),
+    w AS (SELECT doc_id, unnest(a) AS word FROM arr),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS nd
+      FROM w GROUP BY doc_id),
+    topw AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mx FROM (
+        SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
+      GROUP BY doc_id),
+    bgi AS (
+      SELECT doc_id, a,
+             unnest(generate_series(1, greatest(len(a) - 1, 0))) AS i
+      FROM arr),
+    bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS bigram FROM bgi),
+    topbg AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mx FROM (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+      GROUP BY doc_id),
+    f AS (
+      SELECT t.doc_id, t.n,
+             CAST(t.n - t.nd AS DOUBLE) / greatest(t.n, 1) AS dup_word_frac,
+             CAST(tw.mx AS DOUBLE) / greatest(t.n, 1) AS top_word_frac,
+             CAST(COALESCE(tb.mx, 0) AS DOUBLE) / greatest(t.n - 1, 1)
+               AS top_bigram_frac
+      FROM tot t
+      JOIN topw tw USING (doc_id)
+      LEFT JOIN topbg tb USING (doc_id))
+    SELECT doc_id, n AS n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+           (dup_word_frac <= 0.6 AND top_word_frac <= 0.2
+            AND top_bigram_frac <= 0.1) AS keep
+    FROM f
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — Gopher-style repetition filter (operators/text.py:
+    repetition_stats): duplicate-word / top-word / top-bigram fractions
+    plus the keep verdict. The Spark side computes counts with
+    higher-order-function folds over the word array (map-side, zero
+    shuffles); the oracle derives the same counts by unnest + GROUP BY —
+    two independent formulations agreeing on every IEEE division."""
+    from books2scrape_etl_spark.operators.text import repetition_stats
+
+    docs = read_table(spark, "documents", sf_dir)
+    return repetition_stats(docs)
+
+
 # Shared CTE prefix: winnowing fingerprints (operators/winnow.py) in
 # DuckDB form — normalize, all 8-grams, portable md5-prefix hash,
 # min over the trailing-8 window (prefix windows for pos < 8), distinct.
@@ -327,3 +381,127 @@ def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, "documents", sf_dir)
     out = minhash_dedup_cc(docs, threshold=0.6, algorithm="star")
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------
+# Consolidation suites (same trick as scalar_funcs_suite): pack several
+# single-operator qnames into ONE oracle-paired qname so each frees a
+# slot in the driver's 50-entry correctness window for the wave-4
+# training ops. The underlying singles stay registered (and land right
+# after the window), and each suite row normalizes the component's full
+# output into a (kind, k, ...) union — a value change in ANY component
+# still flips the suite hash. Oracle SQL is composed by wrapping the
+# singles' already-registered oracle strings, so both sides stay
+# definitionally in sync with the standalone qnames.
+# ---------------------------------------------------------------------
+
+from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+
+
+@register(
+    "sources_suite",
+    f"""
+    SELECT 'range' AS kind, CAST(page_no AS BIGINT) AS k, url AS s,
+           CAST(NULL AS DOUBLE) AS v
+    FROM ({ORACLE_SQL["range_source"]})
+    UNION ALL
+    SELECT 'csv', CAST(n_nationkey AS BIGINT),
+           n_name || '|' || CAST(n_regionkey AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM ({ORACLE_SQL["scan_csv"]})
+    UNION ALL
+    SELECT 'parquet', CAST(p_partkey AS BIGINT), p_name,
+           CAST(p_retailprice AS DOUBLE)
+    FROM ({ORACLE_SQL["scan_parquet"]})
+    """,
+)
+def q_sources_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + S5/S6 + S7 in one window slot: range source, CSV sink→scan
+    round trip (explicit schema), parquet scan with pushdown — each
+    component's full output union-normalized to (kind, k, s, v)."""
+    null_d = F.lit(None).cast("double")
+    r = QUERIES["range_source"](spark, sf_dir).select(
+        F.lit("range").alias("kind"),
+        F.col("page_no").cast("long").alias("k"),
+        F.col("url").alias("s"),
+        null_d.alias("v"),
+    )
+    c = QUERIES["scan_csv"](spark, sf_dir).select(
+        F.lit("csv").alias("kind"),
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.concat_ws("|", F.col("n_name"), F.col("n_regionkey").cast("string")).alias("s"),
+        null_d.alias("v"),
+    )
+    p = QUERIES["scan_parquet"](spark, sf_dir).select(
+        F.lit("parquet").alias("kind"),
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("p_name").alias("s"),
+        F.col("p_retailprice").cast("double").alias("v"),
+    )
+    return r.union(c).union(p)
+
+
+@register(
+    "clean_suite",
+    f"""
+    SELECT 'currency' AS kind, CAST(p_partkey AS BIGINT) AS k,
+           CAST(NULL AS VARCHAR) AS s, CAST(price_clean AS DOUBLE) AS v
+    FROM ({ORACLE_SQL["clean_currency"]})
+    UNION ALL
+    SELECT 'desc', CAST(doc_id AS BIGINT), description, CAST(NULL AS DOUBLE)
+    FROM ({ORACLE_SQL["clean_description"]})
+    """,
+)
+def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + P2 in one window slot: currency clean and description-suffix
+    strip, union-normalized to (kind, k, s, v)."""
+    cur = QUERIES["clean_currency"](spark, sf_dir).select(
+        F.lit("currency").alias("kind"),
+        F.col("p_partkey").cast("long").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("price_clean").cast("double").alias("v"),
+    )
+    des = QUERIES["clean_description"](spark, sf_dir).select(
+        F.lit("desc").alias("kind"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("description").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return cur.union(des)
+
+
+@register(
+    "stream_windows_suite",
+    f"""
+    SELECT 'tumbling' AS kind, CAST(bucket AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2, event_type AS s,
+           CAST(n_events AS BIGINT) AS n, CAST(sum_value AS DOUBLE) AS v
+    FROM ({ORACLE_SQL["stream_tumbling"]})
+    UNION ALL
+    SELECT 'session', CAST(user_id AS BIGINT), CAST(session_start AS BIGINT),
+           CAST(session_end AS VARCHAR), CAST(n_events AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({ORACLE_SQL["stream_session"]})
+    """,
+)
+def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 + T3 in one window slot: tumbling and session windows
+    (batch-equivalent forms), union-normalized to (kind, k1, k2, s, n,
+    v). The availableNow/watermark real-stream variants stay as their
+    own rows-only qnames."""
+    t = QUERIES["stream_tumbling"](spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        F.col("bucket").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("s"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("v"),
+    )
+    s = QUERIES["stream_session"](spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("long").alias("k1"),
+        F.col("session_start").cast("long").alias("k2"),
+        F.col("session_end").cast("string").alias("s"),
+        F.col("n_events").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return t.union(s)
