@@ -505,3 +505,42 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"),
     )
     return t.union(s)
+
+
+@register(
+    "sketch_kmv",
+    """
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      FROM h),
+    sk AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(MAX(hv) AS BIGINT) AS kth_hash
+      FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+    e AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS exact_dv
+      FROM h GROUP BY l_returnflag)
+    SELECT sk.l_returnflag, k_used, kth_hash,
+           CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                ELSE 1095216660480.0 / kth_hash END AS est_dv,
+           exact_dv
+    FROM sk JOIN e USING (l_returnflag)
+    """,
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch (operators/sketch.py KMV, k=256):
+    per returnflag, the k-minimum-values state (k_used, kth_hash) plus
+    the estimate and the exact count for calibration. Unlike HLL, the
+    sketch state is plain data, so the oracle value-matches the sketch
+    itself — 1095216660480 = (k-1)·2^32 as one literal so both engines
+    run the identical IEEE division."""
+    from books2scrape_etl_spark.operators.sketch import kmv_distinct
+
+    li = read_table(spark, "lineitem", sf_dir)
+    return kmv_distinct(li, "l_orderkey", ["l_returnflag"], k=256)

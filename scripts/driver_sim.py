@@ -16,6 +16,7 @@ import __spark_entry__ as e  # noqa: E402
 
 SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 LIMIT = int(os.environ.get("SIM_LIMIT", "0"))  # 0 = all
+ONLY = [n for n in os.environ.get("SIM_ONLY", "").split(",") if n]  # subset filter
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -62,6 +63,8 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
     names = list(qs)
+    if ONLY:
+        names = [n for n in names if n in ONLY]
     if LIMIT:
         names = names[:LIMIT]
     n_pass = n_fail = n_rowsonly = 0
