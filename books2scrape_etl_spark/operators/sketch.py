@@ -72,12 +72,20 @@ def kmv_distinct(
     )
     try:
         exact = hashes.groupBy(*groups).agg(F.count(F.lit(1)).alias("exact_dv"))
-        w = (
-            Window.partitionBy(*groups).orderBy("hv")
-            if groups
-            else Window.partitionBy(F.lit(1)).orderBy("hv")
-        )
-        topk = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+        if groups:
+            # per-group k-smallest via a window; parallelism = group count
+            # (fine for low-cardinality groups, which is what grouped
+            # sketching is for — per-key cardinality wants the KMV merge
+            # form instead).
+            w = Window.partitionBy(*groups).orderBy("hv")
+            topk = hashes.withColumn("rn", F.row_number().over(w)).where(
+                F.col("rn") <= k
+            )
+        else:
+            # orderBy+limit plans as TakeOrderedAndProject: each partition
+            # keeps its own k smallest before the single merge — never a
+            # one-task global sort (which Window.partitionBy(lit) would be).
+            topk = hashes.orderBy("hv").limit(k)
         sk = topk.groupBy(*groups).agg(
             F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("kth_hash")
         )

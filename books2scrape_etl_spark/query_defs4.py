@@ -544,3 +544,94 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, "lineitem", sf_dir)
     return kmv_distinct(li, "l_orderkey", ["l_returnflag"], k=256)
+
+
+@register(
+    "stream_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS c_e
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT user_id, event_id AS buy_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS b_e
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, buy_id, b_e - c_e AS lag_s
+    FROM c JOIN b USING (user_id)
+    WHERE b_e >= c_e AND b_e <= c_e + 1800
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch-equivalent — click→purchase attribution join within 30
+    minutes per user (streaming/windows.py:click_purchase_join_batch).
+    Epoch-floored longs on both sides keep the predicate TZ- and
+    precision-portable."""
+    from books2scrape_etl_spark.streaming import windows as stream_ops
+
+    ev = read_table(spark, "events", sf_dir)
+    return stream_ops.click_purchase_join_batch(ev, window_minutes=30)
+
+
+@register("stream_join_rt")  # rows-only: real stream-stream join execution
+def q_stream_join_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — watermarked stream-stream interval join over a real
+    readStream pair (state eviction bounded by watermark + join window;
+    see streaming/windows.py:streaming_click_purchase_join)."""
+    from books2scrape_etl_spark.streaming import windows as stream_ops
+
+    return stream_ops.streaming_click_purchase_join(spark, sf_dir, window_minutes=30)
+
+
+@register(
+    "scd2_upsert",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CAST(1 AS INTEGER) AS version, TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, 999.0 FROM customer WHERE c_custkey % 97 = 0),
+    j AS (
+      SELECT d.c_custkey AS d_key, d.c_name, d.c_acctbal AS old_bal,
+             d.version, u.c_custkey AS u_key, u.c_acctbal AS new_bal
+      FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey)
+    SELECT d_key AS c_custkey, c_name, old_bal AS c_acctbal, version,
+           NOT (u_key IS NOT NULL AND new_bal IS DISTINCT FROM old_bal)
+             AS is_current
+    FROM j WHERE d_key IS NOT NULL
+    UNION ALL
+    SELECT d_key, c_name, new_bal, CAST(2 AS INTEGER), TRUE
+    FROM j
+    WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+      AND new_bal IS DISTINCT FROM old_bal
+    UNION ALL
+    SELECT u_key, CAST(NULL AS VARCHAR), new_bal, CAST(2 AS INTEGER), TRUE
+    FROM j WHERE d_key IS NULL
+    """,
+)
+def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension upsert (operators/scd.py) on a customer snapshot:
+    10% of keys change balance (close + new version), 10% arrive as
+    no-op updates (idempotent pass-through), ~1% are brand-new keys
+    (insert). The oracle replays the same MERGE semantics with a FULL
+    OUTER JOIN + IS DISTINCT FROM — the null-safe twin of eqNullSafe."""
+    from books2scrape_etl_spark.operators.scd import scd2_apply
+
+    c = read_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_acctbal")
+    dim = c.withColumn("version", F.lit(1)).withColumn("is_current", F.lit(True))
+    upd_changed = c.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    upd_noop = c.where(F.col("c_custkey") % 10 == 1).select("c_custkey", "c_acctbal")
+    upd_new = c.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(999.0).alias("c_acctbal"),
+    )
+    updates = upd_changed.union(upd_noop).union(upd_new)
+    return scd2_apply(dim, updates, ["c_custkey"], ["c_acctbal"], new_version=2)

@@ -215,3 +215,67 @@ def stateful_session_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     return _drain_to_memory(out, "update")
+
+
+def click_purchase_join_batch(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """T7 batch-equivalent: clicks joined to same-user purchases within
+    ``window_minutes`` after the click. Event times surfaced as floored
+    epoch longs (TZ-free — the same convention as the window qnames), so
+    any engine replays the identical join predicate."""
+    e = F.col("ts").cast("long")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), e.alias("c_e")
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("buy_id"), e.alias("b_e")
+    )
+    return (
+        clicks.join(
+            buys,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_e") >= F.col("c_e"))
+            & (F.col("b_e") <= F.col("c_e") + window_minutes * 60),
+        )
+        .select("user_id", "click_id", "buy_id", (F.col("b_e") - F.col("c_e")).alias("lag_s"))
+    )
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """T7: stream-stream inner join — the one streaming shape T1-T6
+    don't cover. Both sides are watermarked and the join carries a
+    time-range predicate, so state eviction is bounded: a click older
+    than watermark + ``window_minutes`` can never match again and its
+    state row is dropped. Without the range condition a stream-stream
+    join would buffer both streams forever — the predicate IS the scale
+    design. Self-joining one source stream is two logical streams to
+    the engine (each side tracks its own watermark)."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            f"user_id = b_user AND b_ts >= c_ts "
+            f"AND b_ts <= c_ts + interval {window_minutes} minutes"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "buy_id",
+        (F.col("b_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_s"),
+    )
+    return _drain_to_memory(joined, "append")

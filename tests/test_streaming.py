@@ -158,3 +158,38 @@ def test_transform_with_state_totals(spark, sf_dir):
     }
     # final state per user equals the batch aggregate
     assert {u: v for u, v in rows.items()} == exp
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The RT stream-stream join must produce exactly the pairs a batch
+    join with the same (microsecond-precision) predicate produces."""
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.streaming.windows import (
+        streaming_click_purchase_join,
+    )
+
+    got = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in streaming_click_purchase_join(spark, sf_dir, 30).collect()
+    }
+    ev = read_table(spark, "events", sf_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    want = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in c.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("c_ts"))
+            & (F.col("b_ts") <= F.col("c_ts") + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
