@@ -75,6 +75,38 @@ def split_assign(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key: Column | str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Deterministic quota sample: the ``n_per_stratum`` rows of each
+    stratum that come first in md5-hash order (ties broken by key).
+
+    Hash order is a reproducible stand-in for random order — the same
+    rows are chosen every run, on any cluster, by any engine — which is
+    what corpus ablations need (an RNG sample is unrepeatable and a
+    "first N in storage order" sample is biased by ingest order).
+
+    Scale: one hash-partitioned window per stratum; rows never carry
+    payload into the shuffle if callers select slim columns first. For
+    very hot strata the rank is still per-stratum sequential — with
+    millions of rows per stratum, switch to the threshold form (keep
+    rows with bucket < quota/total estimate) which is shuffle-free.
+    """
+    from pyspark.sql import Window
+
+    hv = hash_bucket(key, 1 << 32).alias("hv")
+    w = Window.partitionBy(*strata_cols).orderBy("hv", key)
+    return (
+        df.withColumn("hv", hv)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_stratum)
+        .drop("hv")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     source: Column | str,

@@ -130,6 +130,43 @@ def winnow_fingerprints(
     return hashed.select(id_col, F.explode("fps").alias("fp"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share ≥
+    ``min_shared`` winnowing fingerprints with ANY document of the
+    held-out set selected by ``bench_pred`` — the standard pre-training
+    hygiene pass (eval n-grams must not leak into the training corpus).
+
+    Returns (id, n_shared) for contaminated training docs. One
+    fingerprint pass over the full corpus, split by the predicate, then
+    an equi-join of training fingerprints against the (small, distinct)
+    benchmark fingerprint set — which AQE broadcasts, so the training
+    side never shuffles. Winnowing's guarantee makes the check sound:
+    any shared normalized substring of length ≥ k + w - 1 surfaces as a
+    shared fingerprint.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w).persist()
+    try:
+        bench_fps = fps.where(bench_pred).select("fp").distinct()
+        train_fps = fps.where(~bench_pred)
+        out = (
+            train_fps.join(bench_fps, "fp")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fps.unpersist()
+
+
 def winnow_candidates(
     docs: DataFrame,
     text_col: str = "text",

@@ -58,8 +58,10 @@ WINDOW: tuple[str, ...] = (
     "winnow_fingerprint", "winnow_candidates", "repetition_stats", "vocab_topk",
     # joins / SQL surfaces
     "asof_join_general", "sql_api",
-    "pivot", "unpivot", "scalar_subquery", "correlated_subquery", "in_subquery",
+    "pivot_unpivot_suite", "subquery_suite",
     "grouping_sets", "agg_having",
+    # MERGE / streaming join / sketch
+    "scd2_upsert", "stream_join", "sketch_kmv",
     "scalar_funcs_suite", "date_funcs",
     "udaf_grouped", "grouped_map", "partition_pruning",
     "surrogate_key_scale", "join_salted", "explode_split",

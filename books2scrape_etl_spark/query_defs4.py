@@ -635,3 +635,132 @@ def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = upd_changed.union(upd_noop).union(upd_new)
     return scd2_apply(dim, updates, ["c_custkey"], ["c_acctbal"], new_version=2)
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH {_WINNOW_FPS_CTE},
+    bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, fp FROM fps WHERE doc_id % 50 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM train JOIN bench USING (fp)
+    GROUP BY doc_id HAVING COUNT(*) >= 3
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/winnow.py:decontaminate):
+    2% of documents (doc_id % 50 = 0) stand in as the held-out eval
+    set; training docs sharing ≥3 winnowing fingerprints with it are
+    flagged. One fingerprint pass, then a train-fps equi-join against
+    the small distinct benchmark fingerprint set (broadcast by AQE)."""
+    from books2scrape_etl_spark.operators.winnow import decontaminate
+
+    docs = read_table(spark, "documents", sf_dir)
+    return decontaminate(docs, F.col("doc_id") % 50 == 0, min_shared=3)
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4294967296 AS hv
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY hv, doc_id) AS rn
+      FROM s)
+    WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling (operators/sampling.py:
+    stratified_sample): first 20 documents of each (lang, source)
+    stratum in md5-hash order — a reproducible stand-in for random
+    order that any engine re-derives, so the exact chosen subset is
+    value-matched, not just the quota sizes."""
+    from books2scrape_etl_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang", "source"], "doc_id", 20)
+
+
+@register(
+    "subquery_suite",
+    f"""
+    SELECT 'scalar' AS kind, CAST(o_orderkey AS BIGINT) AS k,
+           CAST(NULL AS VARCHAR) AS s, CAST(o_totalprice AS DOUBLE) AS v
+    FROM ({ORACLE_SQL["scalar_subquery"]})
+    UNION ALL
+    SELECT 'corr', CAST(c_custkey AS BIGINT), c_name, CAST(NULL AS DOUBLE)
+    FROM ({ORACLE_SQL["correlated_subquery"]})
+    UNION ALL
+    SELECT 'in', CAST(s_suppkey AS BIGINT), s_name, CAST(NULL AS DOUBLE)
+    FROM ({ORACLE_SQL["in_subquery"]})
+    """,
+)
+def q_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated + IN subqueries in one window slot
+    (union-normalized; the singles stay registered after the window)."""
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    a = QUERIES["scalar_subquery"](spark, sf_dir).select(
+        F.lit("scalar").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        null_s.alias("s"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    b = QUERIES["correlated_subquery"](spark, sf_dir).select(
+        F.lit("corr").alias("kind"),
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_name").alias("s"),
+        null_d.alias("v"),
+    )
+    c = QUERIES["in_subquery"](spark, sf_dir).select(
+        F.lit("in").alias("kind"),
+        F.col("s_suppkey").cast("long").alias("k"),
+        F.col("s_name").alias("s"),
+        null_d.alias("v"),
+    )
+    return a.union(b).union(c)
+
+
+@register(
+    "pivot_unpivot_suite",
+    f"""
+    SELECT 'pivot' AS kind, CAST(NULL AS BIGINT) AS k,
+           l_returnflag || '|O' AS s, CAST(O AS DOUBLE) AS v
+    FROM ({ORACLE_SQL["pivot"]})
+    UNION ALL
+    SELECT 'pivot', CAST(NULL AS BIGINT), l_returnflag || '|F', CAST(F AS DOUBLE)
+    FROM ({ORACLE_SQL["pivot"]})
+    UNION ALL
+    SELECT 'unpivot', CAST(o_orderkey AS BIGINT), measure, CAST(val AS DOUBLE)
+    FROM ({ORACLE_SQL["unpivot"]})
+    """,
+)
+def q_pivot_unpivot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot + unpivot in one window slot: the pivoted counts re-linearized
+    to (flag|status, count) rows, plus the stack()-unpivoted measures."""
+    null_k = F.lit(None).cast("long")
+    pv = QUERIES["pivot"](spark, sf_dir)
+    p_rows = []
+    for status in ["O", "F"]:
+        p_rows.append(
+            pv.select(
+                F.lit("pivot").alias("kind"),
+                null_k.alias("k"),
+                F.concat(F.col("l_returnflag"), F.lit(f"|{status}")).alias("s"),
+                F.col(status).cast("double").alias("v"),
+            )
+        )
+    up = QUERIES["unpivot"](spark, sf_dir).select(
+        F.lit("unpivot").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("measure").alias("s"),
+        F.col("val").cast("double").alias("v"),
+    )
+    return p_rows[0].union(p_rows[1]).union(up)

@@ -214,3 +214,25 @@ def test_cc_star_agrees_with_propagation(spark):
     star = {r.doc_id: r.component for r in connected_components_star(pairs).collect()}
     prop = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert star == prop
+
+
+def test_stratified_sample_quota_and_determinism(spark, sf_dir):
+    from books2scrape_etl_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    out = stratified_sample(docs, ["lang", "source"], "doc_id", 5).collect()
+    per: dict[tuple, list] = {}
+    for r in out:
+        per.setdefault((r.lang, r.source), []).append((r.rn, r.doc_id))
+    sizes = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source").count().withColumnRenamed("count", "n").collect()
+    }
+    for stratum, rows in per.items():
+        assert len(rows) == min(5, sizes[stratum])  # full quota where possible
+        assert sorted(rn for rn, _ in rows) == list(range(1, len(rows) + 1))
+    # repartitioning must not change the chosen subset
+    again = stratified_sample(docs.repartition(13), ["lang", "source"], "doc_id", 5).collect()
+    assert {(r.lang, r.source, r.doc_id) for r in again} == {
+        (r.lang, r.source, r.doc_id) for r in out
+    }

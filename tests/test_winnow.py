@@ -85,3 +85,20 @@ def test_winnow_candidates_planted_overlap(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     for (a, b), n in pairs.items():
         assert n == len(fps[a] & fps[b])
+
+
+def test_decontaminate_planted_leak(spark):
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.operators.winnow import decontaminate
+
+    leak = "the exact benchmark passage that must not appear in training data"
+    rows = [
+        (0, f"benchmark item: {leak} end of item."),  # bench (id % 2 == 0 pred)
+        (1, f"a training document which copied {leak} word for word."),
+        (3, "a clean training document with entirely original content here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    out = {r.doc_id: r.n_shared for r in decontaminate(df, F.col("doc_id") % 2 == 0).collect()}
+    assert 1 in out and out[1] >= 3  # the copier is flagged
+    assert 3 not in out  # the clean doc is not
