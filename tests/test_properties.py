@@ -4,6 +4,8 @@ evaluates the whole batch) for the cleaning and binning kernels."""
 import random
 import string
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.columns import clean_currency
@@ -124,3 +126,62 @@ def test_asof_join_matches_pandas_reference(spark):
         for t in merged.itertuples():
             want = None if pd.isna(t.asof_ts) else int(t.asof_ts)
             assert got[(uid, t.ts, t.lval)] == want, (uid, t.ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=3000), min_size=0, max_size=120),
+    cap=st.integers(min_value=64, max_value=2048),
+)
+def test_pack_kernels_properties(sizes, cap):
+    """Pure-kernel invariants for BOTH packers on arbitrary inputs:
+    every element placed exactly once, multi-member packs respect
+    capacity, next-fit ids are contiguous from 1, FFD never uses more
+    packs than next-fit."""
+    import numpy as np
+
+    from books2scrape_etl_spark.operators.packing import _ffd_kernel, _next_fit_kernel
+
+    arr = np.asarray(sizes, dtype=np.int64)
+    nf = _next_fit_kernel(arr, cap)
+    ffd = _ffd_kernel(arr, cap)
+    assert len(nf) == len(arr) == len(ffd)
+    if len(arr) == 0:
+        return
+    for packs in (nf, ffd):
+        for p in set(packs):
+            members = arr[packs == p]
+            if len(members) > 1:
+                assert members.sum() <= cap
+    assert sorted(set(nf)) == list(range(1, len(set(nf)) + 1))
+    assert len(set(ffd)) <= len(set(nf))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("ab cdefg h12 "), min_size=0, max_size=200
+    ),
+    k=st.integers(min_value=2, max_value=6),
+    w=st.integers(min_value=1, max_value=6),
+)
+def test_winnow_reference_window_guarantee(text, k, w):
+    """Pure-python winnowing reference properties: density (every
+    window of w consecutive gram positions contributes its minimum, so
+    any stretch of >= w grams yields a fingerprint), and the selected
+    set is a subset of all gram hashes."""
+    import hashlib
+    import re
+
+    t = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    if len(t) < k:
+        return
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    fps = {min(hs[max(0, e - w + 1) : e + 1]) for e in range(len(hs))}
+    assert fps <= set(hs)
+    # every full window's minimum is selected
+    for e in range(w - 1, len(hs)):
+        assert min(hs[e - w + 1 : e + 1]) in fps
