@@ -764,3 +764,76 @@ def q_pivot_unpivot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").cast("double").alias("v"),
     )
     return p_rows[0].union(p_rows[1]).union(up)
+
+
+@register("embed_generate")  # rows-only: the model forward pass has no SQL twin
+def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch embedding generation (operators/inference.py): broadcast
+    projection weights + mapInPandas forward pass, L2-normalized
+    array<double> output. The producer side of the embeddings table the
+    similarity/ANN/near-dup operators consume. Unit tests pin
+    determinism under repartitioning, unit norms, and a numpy reference
+    forward pass."""
+    from books2scrape_etl_spark.operators.inference import embed_generate
+
+    docs = read_table(spark, "documents", sf_dir)
+    out = embed_generate(docs)
+    # surface a stable scalar alongside the vector for the rows check
+    return out.select("doc_id", "embedding", F.size("embedding").alias("dim"))
+
+
+@register(
+    "corpus_build",
+    f"""
+    WITH keepers AS (
+      SELECT doc_id FROM ({ORACLE_SQL["repetition_stats"]}) WHERE keep),
+    kept AS (
+      SELECT d.doc_id, d.text, d.lang, d.n_chars
+      FROM documents d JOIN keepers USING (doc_id)),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM kept)
+      GROUP BY fp),
+    sp AS (
+      SELECT k.doc_id, k.lang, k.n_chars,
+             CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS bucket
+      FROM kept k JOIN surv USING (doc_id))
+    SELECT CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sp GROUP BY 1, 2
+    """,
+)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the wave-4/5 training-corpus build as ONE
+    lazy Catalyst plan: Gopher repetition filter → exact dedup
+    (min-doc_id survivor per content fingerprint) → deterministic
+    train/val/test split → per-(split, lang) document and character
+    accounting. Each stage is an operator qname in its own right; the
+    point here is that they compose without materialization — the
+    repetition filter prunes before the dedup shuffle, the dedup
+    shuffle carries (fp, doc_id) only, the split is a projection, and
+    the final agg is partial+final. The oracle replays the whole chain
+    by wrapping the repetition oracle and re-deriving dedup + split."""
+    from books2scrape_etl_spark.operators.sampling import split_assign
+    from books2scrape_etl_spark.operators.text import fingerprint, repetition_stats
+
+    docs = read_table(spark, "documents", sf_dir)
+    keep_ids = repetition_stats(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id").select("doc_id", "text", "lang", "n_chars")
+    surv = (
+        kept.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sp = split_assign(kept.join(surv, "doc_id").select("doc_id", "lang", "n_chars"), "doc_id")
+    return sp.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -236,3 +236,48 @@ def test_stratified_sample_quota_and_determinism(spark, sf_dir):
     assert {(r.lang, r.source, r.doc_id) for r in again} == {
         (r.lang, r.source, r.doc_id) for r in out
     }
+
+
+# --- batch inference (embedding generation) --------------------------------
+
+
+def test_embed_generate_matches_numpy_reference(spark):
+    import numpy as np
+
+    from books2scrape_etl_spark.operators.inference import (
+        _featurize,
+        _projection,
+        embed_generate,
+    )
+
+    rows = [(1, "alpha beta beta gamma"), (2, "delta"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from books2scrape_etl_spark.operators.inference import _forward
+
+    got = {r.doc_id: np.array(r.embedding) for r in embed_generate(df).collect()}
+    w = _projection(1024, 16, 42)
+    feats = _featurize([t for _, t in rows], 1024)
+    emb = _forward(feats, w)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    want = emb / norms
+    for i, (doc_id, _) in enumerate(rows):
+        assert np.allclose(got[doc_id], want[i], atol=1e-6)
+    assert np.allclose(np.linalg.norm(got[1]), 1.0)
+    assert np.allclose(got[3], 0.0)  # empty doc -> zero vector, not NaN
+
+
+def test_embed_generate_partitioning_invariant(spark, sf_dir):
+    import numpy as np
+
+    from books2scrape_etl_spark.operators.inference import embed_generate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = {r.doc_id: tuple(r.embedding) for r in embed_generate(docs).collect()}
+    b = {
+        r.doc_id: tuple(r.embedding)
+        for r in embed_generate(docs.repartition(17)).collect()
+    }
+    assert a == b
+    norms = np.array([np.linalg.norm(v) for v in a.values()])
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-6)
