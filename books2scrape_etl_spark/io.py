@@ -145,19 +145,36 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     reader, column pruning and predicate pushdown for free — the scan the
     reference never had (it re-reads a full CSV, transformation_pipeline.py:40).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark rejects
-    (PARQUET_TYPE_ILLEGAL) — read it as raw nanos via the legacy conf and
-    rebuild a TimestampType column by truncating to micros (exactly what
-    engines with micros-precision timestamps, e.g. DuckDB, do on read)."""
+    ``events.ts`` has shipped in two physical vintages: TIMESTAMP(NANOS)
+    (which Spark only reads as raw BIGINT via the legacy ``nanosAsLong``
+    conf) and TIMESTAMP(MICROS) without isAdjustedToUTC (which Spark reads
+    as TIMESTAMP_NTZ). The contract downstream is a plain TimestampType
+    column whose UTC epoch equals the stored wall-clock value — exactly
+    what micros-precision engines (e.g. DuckDB) yield on the same file.
+    Branch on the dtype the scan actually produced, never on an assumed
+    vintage: schema drift in the input must not break the reader."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
+        # Harmless for micros files (the conf only affects NANOS columns);
+        # required for nanos files, which otherwise fail the scan outright.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer DIV, not `/ 1000`: float division of epoch-nanos longs
-        # exceeds double's 53-bit mantissa and rounds the last microsecond
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos vintage: integer DIV, not `/ 1000` — float division of
+            # epoch-nanos longs exceeds double's 53-bit mantissa and rounds
+            # the last microsecond
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "timestamp_ntz":
+            # micros-NTZ vintage: reinterpret the wall-clock value as UTC so
+            # the epoch matches the nanos-vintage path bit for bit. The cast
+            # resolves against the session TZ at analysis time — pin it here
+            # rather than trusting the caller to have done so.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df  # already a session-TZ timestamp — pass through
     return spark.read.parquet(path)
 
 

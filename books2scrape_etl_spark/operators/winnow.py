@@ -138,6 +138,7 @@ def decontaminate(
     k: int = 8,
     w: int = 8,
     min_shared: int = 3,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: training documents that share ≥
     ``min_shared`` winnowing fingerprints with ANY document of the
@@ -151,8 +152,14 @@ def decontaminate(
     side never shuffles. Winnowing's guarantee makes the check sound:
     any shared normalized substring of length ≥ k + w - 1 surfaces as a
     shared fingerprint.
+
+    Pass precomputed (persisted) ``fps`` to share one fingerprint pass
+    across several winnow consumers (the suite pattern) — the caller
+    then owns the persist lifecycle.
     """
-    fps = winnow_fingerprints(docs, text_col, id_col, k, w).persist()
+    own_fps = fps is None
+    if own_fps:
+        fps = winnow_fingerprints(docs, text_col, id_col, k, w).persist()
     try:
         bench_fps = fps.where(bench_pred).select("fp").distinct()
         train_fps = fps.where(~bench_pred)
@@ -164,7 +171,8 @@ def decontaminate(
         )
         return out.localCheckpoint(eager=True)
     finally:
-        fps.unpersist()
+        if own_fps:
+            fps.unpersist()
 
 
 def winnow_candidates(
@@ -175,6 +183,7 @@ def winnow_candidates(
     w: int = 8,
     max_df: int = 50,
     min_shared: int = 3,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Partial-overlap candidate pairs: documents sharing ≥
     ``min_shared`` winnowing fingerprints, counted over fingerprints
@@ -185,8 +194,13 @@ def winnow_candidates(
     fingerprint — the equi-join analogue of the LSH band join, with the
     skew bomb defused by construction. Returns (id_a, id_b, shared),
     id_a < id_b.
+
+    Pass precomputed (persisted) ``fps`` to share one fingerprint pass
+    across several winnow consumers (the suite pattern).
     """
-    fps = winnow_fingerprints(docs, text_col, id_col, k, w).persist()
+    own_fps = fps is None
+    if own_fps:
+        fps = winnow_fingerprints(docs, text_col, id_col, k, w).persist()
     try:
         keep = (
             fps.groupBy("fp")
@@ -209,4 +223,5 @@ def winnow_candidates(
         # the persist alone carries it).
         return pairs.localCheckpoint(eager=True)
     finally:
-        fps.unpersist()
+        if own_fps:
+            fps.unpersist()

@@ -665,13 +665,21 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 — explicit total order, embedded into the data as a rank so an
     order-insensitive hash still verifies the ordering
-    (SURVEY §2.7: Spark has no implicit order)."""
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
+    (SURVEY §2.7: Spark has no implicit order). Top-k-first plan: the
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition heap
+    top-k, one small merge — never a global sort), and the partition-less
+    rank window then runs over the k survivors only. Ranking the top-k
+    subset by the same total order yields the same positions 1..k as
+    ranking the table, at O(k) window cost at any scale."""
+    keys = (F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    top = (
         read_table(spark, "orders", sf_dir)
-        .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
-        .where(F.col("pos") <= 100)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(*keys)
+        .limit(100)
     )
+    w = Window.orderBy(*keys)
+    return top.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
 
 
 @register(

@@ -197,11 +197,13 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        counts.select("token", "cnt", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= 100)
-    )
+    keys = (F.col("cnt").desc(), F.col("token").asc())
+    # top-k FIRST (TakeOrderedAndProject: per-partition heap + one small
+    # merge), THEN rank the k survivors — the partition-less window is
+    # O(k), never a whole-vocabulary single-task sort
+    top = counts.orderBy(*keys).limit(100)
+    w = Window.orderBy(*keys)
+    return top.select("token", "cnt", F.row_number().over(w).alias("rank"))
 
 
 @register(

@@ -1,0 +1,219 @@
+"""Wave-5 qnames (VERDICT r3 items 4/5/7): the formerly-orphaned
+context-window chunker and PII redactor become oracle-paired driver
+rows; the three winnow consumers (fingerprint / candidate pairs /
+decontamination) consolidate into ONE suite qname sharing ONE
+fingerprint pass; and the IVF ANN path gets a hash-match row via full
+probing (``n_probe = n_lists`` provably reproduces brute force — the
+recall dial ends at correctness, so the 100 TB similarity plumbing is
+value-verified, not just unit-tested).
+
+No reference analogue for any of these (the reference emits one CSV
+row per book, extract_pipeline.py:10-94) — all four are part of the
+LLM-data-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.query_defs import _DOT_SQL
+from books2scrape_etl_spark.query_defs4 import _WINNOW_FPS_CTE
+from books2scrape_etl_spark.operators import similarity
+from books2scrape_etl_spark.operators.chunking import chunk_docs, oracle_chunk_sql
+from books2scrape_etl_spark.operators.privacy import (
+    PATTERNS,
+    oracle_count_sql,
+    oracle_redact_sql,
+    pii_stats,
+)
+
+
+# =====================================================================
+# winnow suite — fingerprint + candidate pairs + decontamination in one
+# qname over ONE shared fingerprint pass (frees window slots AND gives
+# `decontaminate` the hard driver signal it lacked in rounds 2-3).
+# =====================================================================
+
+
+@register(
+    "winnow_suite",
+    f"""
+    WITH {_WINNOW_FPS_CTE},
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3),
+    bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, fp FROM fps WHERE doc_id % 50 <> 0),
+    decon AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM train JOIN bench USING (fp)
+      GROUP BY doc_id HAVING COUNT(*) >= 3)
+    SELECT 'fp' AS section, doc_id AS a, fp AS b, CAST(NULL AS BIGINT) AS v FROM fps
+    UNION ALL
+    SELECT 'cand' AS section, id_a AS a, id_b AS b, shared AS v FROM cand
+    UNION ALL
+    SELECT 'decon' AS section, doc_id AS a, CAST(NULL AS BIGINT) AS b, n_shared AS v
+    FROM decon
+    """,
+)
+def q_winnow_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 + L11 in one pass (operators/winnow.py): the per-document
+    winnowing fingerprint table (k=8, w=8), the ≥3-shared candidate
+    pairs over it (df cap 50 — the skew guard), and the benchmark
+    decontamination flags (docs sharing ≥3 fingerprints with the 2%
+    held-out set doc_id % 50 = 0). The fingerprint pass — the expensive
+    map-side scan — runs ONCE (localCheckpoint) and feeds all three
+    sections; sections union into (section, a, b, v) so one value-hash
+    pins every fingerprint, every pair, and every contamination count."""
+    from books2scrape_etl_spark.operators.winnow import (
+        decontaminate,
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    fps = winnow_fingerprints(docs, k=8, w=8).localCheckpoint(eager=True)
+    cand = winnow_candidates(docs, max_df=50, min_shared=3, fps=fps)
+    decon = decontaminate(docs, F.col("doc_id") % 50 == 0, min_shared=3, fps=fps)
+    null_b = F.lit(None).cast("bigint")
+    return (
+        fps.select(
+            F.lit("fp").alias("section"),
+            F.col("doc_id").alias("a"),
+            F.col("fp").alias("b"),
+            null_b.alias("v"),
+        )
+        .unionAll(
+            cand.select(
+                F.lit("cand").alias("section"),
+                F.col("id_a").alias("a"),
+                F.col("id_b").alias("b"),
+                F.col("shared").alias("v"),
+            )
+        )
+        .unionAll(
+            decon.select(
+                F.lit("decon").alias("section"),
+                F.col("doc_id").alias("a"),
+                null_b.alias("b"),
+                F.col("n_shared").alias("v"),
+            )
+        )
+    )
+
+
+# =====================================================================
+# context-window chunking (operators/chunking.py — wired, VERDICT item 4)
+# =====================================================================
+
+
+@register("chunk_docs", oracle_chunk_sql(chunk_words=64, overlap=16))
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py:chunk_docs):
+    overlapping 64-word chunks, 16-word overlap (stride 48) — the 1→N
+    shaping step between corpus and training shard. Pure Catalyst
+    (split → sequence → posexplode → slice → array_join): the fan-out
+    happens inside whole-stage codegen, no shuffle, no Python. The
+    oracle replays the identical boundary formula with DuckDB
+    generate_series + list_slice, pinning every chunk string."""
+    docs = read_table(spark, "documents", sf_dir)
+    return chunk_docs(docs, chunk_words=64, overlap=16)
+
+
+# =====================================================================
+# PII redaction (operators/privacy.py — wired, VERDICT item 4)
+# =====================================================================
+
+# Deterministically plant PII so every category actually fires: the
+# corpus text is public-catalog-clean, so without planting, the qname
+# would verify only the no-match path of all five patterns.
+def _pii_suffix_spark() -> list:
+    # built lazily — Column constructors need an active SparkContext
+    return [
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-5309; card 4111 1111 1111 1111; host 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    ]
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 555-867-5309; card 4111 1111 1111 1111; host 10.0.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "redact_pii",
+    f"""
+    WITH p AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id,
+           {", ".join(
+               f"CAST({oracle_count_sql('text', name)} AS INTEGER) AS {name}_hits"
+               for name, _, _ in PATTERNS
+           )},
+           {oracle_redact_sql('text')} AS redacted
+    FROM p
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/privacy.py): per-category match counts
+    on the original text plus the redacted text, over documents with a
+    deterministic planted-PII suffix (email, phone, card, IPv4 per
+    row — so all five patterns exercise their match path, not just
+    no-match). Pure chained regexp_replace — JVM-side, codegen'd, zero
+    shuffle; the ordered pattern tuple is the cross-engine contract the
+    DuckDB oracle replays with nested regexp_replace(..., 'g')."""
+    docs = read_table(spark, "documents", sf_dir).select(
+        "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("text")
+    )
+    return pii_stats(docs, "text").select(
+        "doc_id", *[f"{name}_hits" for name, _, _ in PATTERNS], "redacted"
+    )
+
+
+# =====================================================================
+# ANN full-probe (VERDICT item 7 — hash-match row for the scale path)
+# =====================================================================
+
+
+@register(
+    "sim_ann_probe",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round({_DOT_SQL.format(a='q.q_vec', b='e.embedding')} /
+                   (sqrt({_DOT_SQL.format(a='q.q_vec', b='q.q_vec')}) *
+                    sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_sim_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path, value-verified: IVF ANN top-5 probing ALL lists
+    (``n_probe = n_lists = 8``) — the lists partition the corpus, so
+    full probing is provably identical to brute force while exercising
+    the ENTIRE production path (k-means quantizer, codegen'd argmin
+    assignment, equi-join on list_id, per-query top-k). The oracle is
+    the exact brute-force SQL: any indexing/assignment/join bug breaks
+    the hash. Recall-vs-exact for partial probing is unit-tested at
+    tests/test_training_ops.py."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)

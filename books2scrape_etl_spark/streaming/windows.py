@@ -80,22 +80,30 @@ def session_windows_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is TIMESTAMP(NANOS) on disk — stream it as raw nanos and
-    # rebuild the TimestampType column (micros truncation), mirroring
-    # io.read_table's batch path.
+    # Streaming twin of io.read_table's events branch: ``ts`` has shipped
+    # as TIMESTAMP(NANOS) (readable only as raw BIGINT via the legacy
+    # conf) and as TIMESTAMP(MICROS)-NTZ. readStream needs a declared
+    # schema, so probe the actual dtype with a batch read first (footer
+    # metadata only — no data scan is triggered) and declare to match;
+    # assuming a vintage is exactly the round-3 regression.
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    ts_read = dict(spark.read.parquet(src).dtypes)["ts"]
+    ts_type: T.DataType = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(ts_read, T.TimestampType())
     schema = T.StructType(
         [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            T.StructField(f.name, ts_type if f.name == "ts" else f.dataType)
             for f in TESTDATA_SCHEMAS["events"].fields
         ]
     )
     # the file-stream source wants a directory; expose the single parquet
     # file through a symlinked dir (what a real deployment's landing
     # directory would be)
-    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     stream_dir = os.path.join(
         tempfile.gettempdir(), f"events_stream_{abs(hash(src)) % 10**8}"
     )
@@ -104,7 +112,14 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_read == "bigint":
+        # nanos vintage: integer DIV (float division would round micros)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_read == "timestamp_ntz":
+        # micros-NTZ vintage: reinterpret wall clock as UTC epoch
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Schema-drift regression tests for ``read_table`` (VERDICT r3 item 2).
+
+The driver's ``events.parquet`` has shipped in two physical vintages —
+TIMESTAMP(NANOS) (round ≤2) and TIMESTAMP(MICROS) without isAdjustedToUTC
+(round ≥3). Round 3 died because the reader assumed the nanos vintage;
+these tests pin the contract: ``read_table`` must yield ``ts: timestamp``
+with identical UTC epoch values for BOTH vintages, so the next physical
+re-encode of the testdata fails here (builder-side) and not in the
+driver's correctness run.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+
+# Wall-clock instants the fixture writers encode; chosen with non-zero
+# microseconds so precision truncation bugs can't hide.
+_INSTANTS = [
+    datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),
+    datetime.datetime(2024, 6, 15, 12, 30, 45, 654321),
+    datetime.datetime(2025, 12, 31, 23, 59, 59, 999999),
+]
+
+
+def _write_events(tmpdir: str, ts_array: pa.Array) -> str:
+    n = len(_INSTANTS)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.5] * n, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    path = f"{tmpdir}/events.parquet"
+    pq.write_table(table, path)
+    return tmpdir
+
+
+@pytest.fixture
+def nanos_dir(tmp_path):
+    # legacy vintage: physical TIMESTAMP(NANOS)
+    return _write_events(str(tmp_path), pa.array(_INSTANTS, pa.timestamp("ns")))
+
+
+@pytest.fixture
+def micros_dir(tmp_path):
+    # current vintage: physical TIMESTAMP(MICROS), no isAdjustedToUTC
+    # (Spark reads this as TIMESTAMP_NTZ)
+    return _write_events(str(tmp_path), pa.array(_INSTANTS, pa.timestamp("us")))
+
+
+def _epochs(spark, sf_dir):
+    df = read_table(spark, "events", sf_dir)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    return [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+
+
+def _expected_epochs():
+    return [
+        int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for dt in _INSTANTS
+    ]
+
+
+def test_read_table_events_nanos_vintage(spark, nanos_dir):
+    assert _epochs(spark, nanos_dir) == _expected_epochs()
+
+
+def test_read_table_events_micros_vintage(spark, micros_dir):
+    assert _epochs(spark, micros_dir) == _expected_epochs()
+
+
+def test_both_vintages_agree(spark, nanos_dir, micros_dir):
+    assert _epochs(spark, nanos_dir) == _epochs(spark, micros_dir)
+
+
+def test_driver_testdata_reads_as_timestamp(spark, sf_dir):
+    """Whatever vintage the driver currently ships, the contract holds."""
+    df = read_table(spark, "events", sf_dir)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.where(F.col("ts").isNull()).limit(1).count() == 0

@@ -111,6 +111,53 @@ def test_bucketed_join_no_input_exchange(spark, sf_dir):
     assert "o_orderpriority" in agg_line
 
 
+def _global_window_lines(plan: str) -> list[str]:
+    """Window nodes with NO partition spec. In simple-explain text a
+    partitioned window prints three bracket groups
+    (``Window [exprs], [partExprs], [orderSpec]``); a partition-less one
+    prints two. Partition-less means Spark moves ALL input rows to one
+    task — a scale-killer unless the input is already bounded."""
+    return [
+        l
+        for l in plan.splitlines()
+        if "Window [" in l and l.count("], [") == 1
+    ]
+
+
+def test_no_unbounded_global_window_any_plan(spark, sf_dir):
+    """Every partition-less WindowExec in every registered non-stream
+    plan must sit directly above a bounded input (TakeOrderedAndProject /
+    GlobalLimit) — i.e. rank-the-top-k, never sort-the-world (VERDICT r3
+    item 3). The proven pattern: orderBy().limit(k) first, window after.
+
+    Exemptions — the two DOCUMENTED exact paths the round-3 verdict
+    explicitly keeps, each with a separately-verified distributed
+    variant: exact ntile (operators/binning.py:bin_quantile_exact; scale
+    path bin_quantile_approx) and exact dense surrogate keys
+    (plans/star.py:build_dim over post-distinct dim-sized input; scale
+    path operators/scale.py, driver-green as surrogate_key_scale).
+    Everything else must be bounded. Growing this set needs the same
+    justification: a documented tradeoff + a green distributed twin."""
+    documented_exact_ok = {
+        "bin_quantile",  # exact ntile
+        "flagship",  # exact ntile on the part dim
+        "join_fact",  # build_dim surrogate keys (3 dims)
+        "join_null_safe",  # build_dim surrogate key
+        "surrogate_key",  # build_dim surrogate key
+    }
+    for qname, fn in QUERIES.items():
+        if qname.endswith("_rt") or qname in documented_exact_ok:
+            continue
+        plan = explain_str(fn(spark, sf_dir), "simple")
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Window [" in l and l.count("], [") == 1:
+                nxt = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "TakeOrderedAndProject" in nxt or "GlobalLimit" in nxt, (
+                    f"{qname}: partition-less Window over unbounded input:\n{l}\n{nxt}"
+                )
+
+
 def test_plan_lint_whole_registry(spark, sf_dir):
     """Scale-regression gate over EVERY registered query plan:
 
