@@ -483,13 +483,36 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(session_end AS VARCHAR), CAST(n_events AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM ({ORACLE_SQL["stream_session"]})
+    UNION ALL
+    SELECT 'dedup', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'stateful', CAST(user_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(value) AS DOUBLE)
+    FROM events GROUP BY user_id
     """,
 )
 def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 + T3 in one window slot: tumbling and session windows
-    (batch-equivalent forms), union-normalized to (kind, k1, k2, s, n,
-    v). The availableNow/watermark real-stream variants stay as their
-    own rows-only qnames."""
+    """T1-T6 in one window slot, union-normalized to (kind, k1, k2, s,
+    n, v). Two batch-equivalent sections (T2 tumbling, T3 session) plus
+    two REAL drained streams, so the streaming machinery itself — not
+    just its window expressions — is value-verified:
+
+    - 'dedup' (T1+T4+T5): dropDuplicatesWithinWatermark over a stream
+      where every event arrives TWICE (duplicated landing files); the
+      deduped per-type counts must equal the plain single-copy GROUP BY
+      — the oracle needs no streaming notion at all.
+    - 'stateful' (T1+T6): applyInPandasWithState running max + count
+      per user, drained with availableNow; with one landing file the
+      final state per key is exactly MAX(value) / COUNT(*) per user.
+    """
+    from books2scrape_etl_spark.streaming.windows import (
+        stateful_running_max,
+        streaming_dedup,
+    )
+
     t = QUERIES["stream_tumbling"](spark, sf_dir).select(
         F.lit("tumbling").alias("kind"),
         F.col("bucket").cast("long").alias("k1"),
@@ -506,7 +529,23 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n"),
         F.lit(None).cast("double").alias("v"),
     )
-    return t.union(s)
+    d = streaming_dedup(spark, sf_dir, copies=2).select(
+        F.lit("dedup").alias("kind"),
+        F.lit(None).cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("s"),
+        F.col("n_events").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    st = stateful_running_max(spark, sf_dir).select(
+        F.lit("stateful").alias("kind"),
+        F.col("user_id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("n_seen").cast("long").alias("n"),
+        F.col("max_value").cast("double").alias("v"),
+    )
+    return t.union(s).union(d).union(st)
 
 
 @register(

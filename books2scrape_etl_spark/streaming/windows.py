@@ -79,7 +79,7 @@ def session_windows_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     )
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     # Streaming twin of io.read_table's events branch: ``ts`` has shipped
     # as TIMESTAMP(NANOS) (readable only as raw BIGINT via the legacy
     # conf) and as TIMESTAMP(MICROS)-NTZ. readStream needs a declared
@@ -103,14 +103,17 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the file-stream source wants a directory; expose the single parquet
     # file through a symlinked dir (what a real deployment's landing
-    # directory would be)
+    # directory would be). ``copies`` symlinks the file N times — a
+    # genuinely duplicated stream for exercising dedup (every event
+    # arrives ``copies`` times; exactly-once semantics must collapse it).
     stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash(src)) % 10**8}"
+        tempfile.gettempdir(), f"events_stream_{abs(hash((src, copies))) % 10**8}"
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    for i in range(copies):
+        link = os.path.join(stream_dir, f"events_{i}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     if ts_read == "bigint":
         # nanos vintage: integer DIV (float division would round micros)
@@ -150,9 +153,17 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, minutes: int = 10) -> D
     return _drain_to_memory(agg, "append")
 
 
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: dropDuplicatesWithinWatermark on event_id over a real stream."""
-    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+def streaming_dedup(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    """T5: dropDuplicatesWithinWatermark on event_id over a real stream.
+
+    With ``copies > 1`` every event arrives ``copies`` times (duplicated
+    landing files — the classic at-least-once delivery scenario) and the
+    deduped per-type counts must equal the single-copy counts exactly:
+    whether the copies land in one micro-batch (in-batch dedup state) or
+    several (cross-batch state lookup, or late-drop once the watermark
+    has passed them), every path collapses the duplicate. That equality
+    is what the oracle-paired suite section checks."""
+    ev = _stream_events(spark, sf_dir, copies=copies).withWatermark("ts", "1 hour")
     deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return _drain_to_memory(counted, "complete")

@@ -193,3 +193,21 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_collapses_duplicated_stream(spark, sf_dir):
+    """T5 with at-least-once delivery simulated: every event arrives
+    twice (two landing files of the same data); the watermarked dedup
+    must collapse the stream back to single-copy per-type counts."""
+    from books2scrape_etl_spark.streaming.windows import streaming_dedup
+
+    got = {
+        (r.event_type, r.n_events)
+        for r in streaming_dedup(spark, sf_dir, copies=2).collect()
+    }
+    ev = read_table(spark, "events", sf_dir)
+    want = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
