@@ -414,12 +414,33 @@ from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
     SELECT 'parquet', CAST(p_partkey AS BIGINT), p_name,
            CAST(p_retailprice AS DOUBLE)
     FROM ({ORACLE_SQL["scan_parquet"]})
+    UNION ALL
+    SELECT 'parse', k, s, v FROM (VALUES
+      (CAST(22 AS BIGINT), 'A Light in the Attic|abc123|Poetry|Â£51.77',
+       CAST(3 AS DOUBLE)),
+      (CAST(20 AS BIGINT),
+       'Tipping the Velvet|def456|Historical Fiction|Â£53.74',
+       CAST(1 AS DOUBLE)),
+      (CAST(3 AS BIGINT), 'Soumission|ghi789|Fiction|Â£50.10',
+       CAST(5 AS DOUBLE))) AS tp(k, s, v)
+    UNION ALL
+    SELECT 'links', CAST(NULL AS BIGINT), s, CAST(NULL AS DOUBLE) FROM (VALUES
+      ('http://books.toscrape.com/catalogue/page-1.html|http://books.toscrape.com/catalogue/a-light-in-the-attic_1000/index.html'),
+      ('http://books.toscrape.com/catalogue/page-1.html|http://books.toscrape.com/catalogue/tipping-the-velvet_999/index.html'),
+      ('http://books.toscrape.com/catalogue/page-1.html|http://books.toscrape.com/catalogue/soumission_998/index.html'),
+      ('http://books.toscrape.com/catalogue/page-2.html|http://books.toscrape.com/catalogue/sharp-objects_997/index.html')) AS tl(s)
     """,
 )
 def q_sources_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 + S5/S6 + S7 in one window slot: range source, CSV sink→scan
-    round trip (explicit schema), parquet scan with pushdown — each
-    component's full output union-normalized to (kind, k, s, v)."""
+    """S1-S7 in one window slot: range source, CSV sink→scan round trip
+    (explicit schema), parquet scan with pushdown, PLUS the two HTML
+    stages run against the offline fixtures with golden-value oracles —
+    'parse' (S2: detail HTML → typed struct; Title|UPC|Category|price
+    packed into s, stock into k, rating into v) and 'links' (S3:
+    listing HTML → exploded detail URLs). The golden VALUES are pinned
+    from the fixture pages (the reference's own dirty data, mojibake
+    included, extract_pipeline.py:10-51), so the parse UDFs get a hash
+    signal, not just a row count. Union-normalized to (kind, k, s, v)."""
     null_d = F.lit(None).cast("double")
     r = QUERIES["range_source"](spark, sf_dir).select(
         F.lit("range").alias("kind"),
@@ -439,7 +460,21 @@ def q_sources_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("s"),
         F.col("p_retailprice").cast("double").alias("v"),
     )
-    return r.union(c).union(p)
+    bk = QUERIES["parse_struct_expand"](spark, sf_dir).select(
+        F.lit("parse").alias("kind"),
+        F.col("No_of_books_in_Stock").cast("long").alias("k"),
+        F.concat_ws(
+            "|", "Title", "UPC", "Category", F.col("`Price (excl. tax)`")
+        ).alias("s"),
+        F.col("Rating").cast("double").alias("v"),
+    )
+    lk = QUERIES["explode_links"](spark, sf_dir).select(
+        F.lit("links").alias("kind"),
+        F.lit(None).cast("long").alias("k"),
+        F.concat_ws("|", "listing_url", "url").alias("s"),
+        null_d.alias("v"),
+    )
+    return r.union(c).union(p).union(bk).union(lk)
 
 
 @register(
