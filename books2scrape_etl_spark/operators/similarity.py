@@ -30,6 +30,9 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -206,6 +209,33 @@ def ivf_assign(vec_col: Column, centers: list[list[float]]) -> Column:
     return (F.array_position(s, F.array_min(s)) - 1).cast("int")
 
 
+def ivf_assign_pandas(emb: DataFrame, centers: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment via a broadcast numpy matrix inside an
+    Arrow-batched pandas UDF — the documented scale path past the
+    codegen'd :func:`ivf_assign` (whose inlined-literal centroid scores
+    stop being sensible at a few thousand lists: the expression tree
+    grows O(n_lists * dim)). One matmul per Arrow batch against the
+    (n_lists x dim) matrix shipped once per executor via a broadcast
+    variable; identical output to :func:`ivf_assign` (parity-tested),
+    including the tie rule (lowest list id wins — numpy argmin first-hit
+    == Catalyst array_position first-hit)."""
+    from pyspark.sql.types import IntegerType
+
+    sc = emb.sparkSession.sparkContext
+    c = np.asarray(centers, dtype=np.float64)  # (n_lists, dim)
+    bc = sc.broadcast((c, (c * c).sum(axis=1)))  # matrix + per-centroid |c|^2
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat, c2 = bc.value
+        v = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        # score = |c|^2 - 2 v.c  (monotone in L2 distance; |v|^2 constant/row)
+        scores = c2[None, :] - 2.0 * (v @ mat.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return emb.withColumn("list_id", assign(F.col(vec_col)))
+
+
 def ivf_probe_lists(vec_col: Column, centers: list[list[float]], n_probe: int) -> Column:
     """The ``n_probe`` nearest list ids for a query vector, via
     sort of (score, list_id) structs — ties break on list_id."""
@@ -250,8 +280,9 @@ def ivf_topk(
 
     Honest limit: centroids are inlined as literal expressions —
     n_lists * dim doubles inside codegen. Fine through a few hundred
-    lists; beyond that (IVF with 4k+ lists), switch the assignment to a
-    broadcast numpy matrix inside a pandas UDF (same join downstream).
+    lists; beyond that (IVF with 4k+ lists), use
+    :func:`ivf_assign_pandas` — the broadcast-numpy assignment with
+    identical output (parity-tested) — and the same join downstream.
     """
     if centers is None:
         centers = kmeans_centroids(

@@ -359,3 +359,22 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # 3/8 lists probed; data-adaptive buckets
+
+
+def test_ivf_pandas_assignment_matches_catalyst(spark, sf_dir):
+    """The broadcast-numpy assignment (scale path for 4k+ lists) must
+    agree with the codegen'd argmin on every vector, including the tie
+    rule (lowest list id)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = similarity.kmeans_centroids(emb, n_lists=8)
+    catalyst = {
+        (r.vec_id, r.list_id)
+        for r in emb.withColumn(
+            "list_id", similarity.ivf_assign(F.col("embedding"), centers)
+        ).collect()
+    }
+    pandas_path = {
+        (r.vec_id, r.list_id)
+        for r in similarity.ivf_assign_pandas(emb, centers).collect()
+    }
+    assert pandas_path == catalyst
