@@ -325,11 +325,17 @@ def embedding_near_dup(
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col(vec_col).alias("v_b"), F.col("bucket")
     )
-    dupes = (
-        a.join(b, on="bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
-        .select("id_b")
-        .distinct()
-    )
+    try:
+        dupes = (
+            a.join(b, on="bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+            .select("id_b")
+            .distinct()
+            # materialize while the bucketed table is cached — the anti-join
+            # below must not recompute the self-join after the unpersist
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
     return emb.join(dupes, emb["vec_id"] == dupes["id_b"], "left_anti")
