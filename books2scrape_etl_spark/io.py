@@ -163,10 +163,7 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            # nanos vintage: integer DIV, not `/ 1000` — float division of
-            # epoch-nanos longs exceeds double's 53-bit mantissa and rounds
-            # the last microsecond
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            return df.withColumn("ts", _epoch_long_to_ts(spark, df))
         if ts_type == "timestamp_ntz":
             # micros-NTZ vintage: reinterpret the wall-clock value as UTC so
             # the epoch matches the nanos-vintage path bit for bit. The cast
@@ -176,6 +173,45 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df  # already a session-TZ timestamp — pass through
     return spark.read.parquet(path)
+
+
+# Epoch-unit magnitude bands: 2000-2100 wall clocks land at ~1e9 (s),
+# ~1e12 (ms), ~1e15 (us), ~1e18 (ns) — three orders of magnitude apart,
+# so one sample value identifies the unit unambiguously.
+_EPOCH_UNIT_BANDS: tuple[tuple[int, str], ...] = (
+    (10**17, "ns"),
+    (10**14, "us"),
+    (10**11, "ms"),
+    (0, "s"),
+)
+
+
+def infer_epoch_unit(sample: int) -> str:
+    """'ns' | 'us' | 'ms' | 's' from one epoch value's magnitude."""
+    v = abs(int(sample))
+    return next(unit for floor, unit in _EPOCH_UNIT_BANDS if v >= floor)
+
+
+def _epoch_long_to_ts(spark: SparkSession, df):
+    """TimestampType from a raw BIGINT epoch ``ts`` column, inferring the
+    unit from one sampled value instead of assuming a vintage (assuming
+    nanos is exactly what broke when the physical type drifted; a raw
+    int64 epoch column could just as well arrive as micros or millis).
+    The one-row sample is a LocalLimit job — first non-empty partition
+    only, even on a 100 TB table. Integer arithmetic throughout: float
+    division of epoch-nanos longs exceeds double's 53-bit mantissa and
+    rounds the last microsecond."""
+    from pyspark.sql import functions as F
+
+    row = df.where(F.col("ts").isNotNull()).select("ts").first()
+    unit = infer_epoch_unit(row[0]) if row else "ns"
+    expr = {
+        "ns": "ts DIV 1000",
+        "us": "ts",
+        "ms": "ts * 1000",
+        "s": "ts * 1000000",
+    }[unit]
+    return F.timestamp_micros(F.expr(expr))
 
 
 def read_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -116,8 +116,14 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
             os.symlink(src, link)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     if ts_read == "bigint":
-        # nanos vintage: integer DIV (float division would round micros)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # raw epoch longs: infer the unit (ns/us/ms/s) from one sampled
+        # value of the batch probe — same magnitude rule as io.py; a
+        # streaming source can't run the sample job itself
+        from books2scrape_etl_spark.io import _epoch_long_to_ts
+
+        return raw.withColumn(
+            "ts", _epoch_long_to_ts(spark, spark.read.parquet(src))
+        )
     if ts_read == "timestamp_ntz":
         # micros-NTZ vintage: reinterpret wall clock as UTC epoch
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -74,6 +74,31 @@ def test_read_table_events_nanos_vintage(spark, nanos_dir):
     assert _epochs(spark, nanos_dir) == _expected_epochs()
 
 
+def test_read_table_events_raw_int64_micros(spark, tmp_path):
+    # a future drift to a PLAIN int64 epoch column (no parquet timestamp
+    # annotation at all) must not be misread as nanos: the unit is
+    # inferred from magnitude
+    us = pa.array(_expected_epochs(), pa.int64())
+    d = _write_events(str(tmp_path), us)
+    assert _epochs(spark, d) == _expected_epochs()
+
+
+def test_read_table_events_raw_int64_millis(spark, tmp_path):
+    ms = pa.array([e // 1000 for e in _expected_epochs()], pa.int64())
+    d = _write_events(str(tmp_path), ms)
+    assert _epochs(spark, d) == [e // 1000 * 1000 for e in _expected_epochs()]
+
+
+def test_epoch_unit_inference_bands():
+    from books2scrape_etl_spark.io import infer_epoch_unit
+
+    base = 1_700_000_000  # ~2023 in seconds
+    assert infer_epoch_unit(base) == "s"
+    assert infer_epoch_unit(base * 10**3) == "ms"
+    assert infer_epoch_unit(base * 10**6) == "us"
+    assert infer_epoch_unit(base * 10**9) == "ns"
+
+
 def test_read_table_events_micros_vintage(spark, micros_dir):
     assert _epochs(spark, micros_dir) == _expected_epochs()
 
