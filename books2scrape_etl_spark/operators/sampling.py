@@ -107,6 +107,30 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key: Column | str,
+    resolution: int = 1 << 32,
+) -> DataFrame:
+    """Keep each row independently with probability equal to its
+    ``weight`` (clamped to [0, 1]), deterministically: keep iff
+
+        hash_bucket(key, resolution) < weight * resolution
+
+    — the per-row Bernoulli draw every quality-weighted corpus-sampling
+    recipe needs ("keep high-quality documents with probability ~ their
+    quality score"), but with the hash standing in for the RNG so the
+    SAME documents survive on every run, at any cluster size, in any
+    engine. Adds the clamped weight as column ``w`` (the accounting
+    column mixture/ablation bookkeeping wants); a pure projection +
+    filter — zero shuffles, fully scan-pushed, as parallel as the scan.
+    """
+    hv = hash_bucket(key, resolution)
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.withColumn("w", w).where(hv < F.col("w") * F.lit(float(resolution)))
+
+
 def mixture_sample(
     df: DataFrame,
     source: Column | str,

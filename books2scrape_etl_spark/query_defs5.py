@@ -217,3 +217,35 @@ def q_sim_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
+
+
+# =====================================================================
+# weighted (quality-proportional) sampling — L7 companion
+# =====================================================================
+
+
+@register(
+    "weighted_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             least(1.0, n_chars / 2000.0) AS w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4294967296 AS hv
+      FROM documents)
+    SELECT doc_id, n_chars, w FROM s WHERE hv < w * 4294967296.0
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.py:
+    weighted_sample): keep each document with probability equal to its
+    quality proxy (here length-based: min(1, n_chars/2000)), the
+    hash-for-RNG Bernoulli draw — same survivors every run, any cluster
+    size, any engine. The oracle re-derives weight, hash, and threshold
+    independently, so the exact kept subset is value-matched. Pure
+    projection + filter: zero shuffles at any scale."""
+    from books2scrape_etl_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    return weighted_sample(docs, w, "doc_id")

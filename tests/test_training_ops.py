@@ -281,3 +281,33 @@ def test_embed_generate_partitioning_invariant(spark, sf_dir):
     assert a == b
     norms = np.array([np.linalg.norm(v) for v in a.values()])
     assert np.allclose(norms[norms > 0], 1.0, atol=1e-6)
+
+
+class TestWeightedSample:
+    def test_weight_bounds(self, spark):
+        from books2scrape_etl_spark.operators.sampling import weighted_sample
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+        none = weighted_sample(df, F.lit(0.0), "doc_id")
+        assert none.count() == 0
+        everything = weighted_sample(df, F.lit(1.0), "doc_id")
+        assert everything.count() == 500
+        # weights outside [0,1] clamp rather than corrupt the threshold
+        clamped = weighted_sample(df, F.lit(7.0), "doc_id")
+        assert clamped.count() == 500
+
+    def test_fraction_tracks_weight_and_is_stable(self, spark):
+        from books2scrape_etl_spark.operators.sampling import weighted_sample
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(2000)])
+        kept1 = {r.doc_id for r in weighted_sample(df, F.lit(0.3), "doc_id").collect()}
+        kept2 = {r.doc_id for r in weighted_sample(df, F.lit(0.3), "doc_id").collect()}
+        assert kept1 == kept2  # deterministic: same survivors every run
+        assert 0.25 <= len(kept1) / 2000 <= 0.35  # tracks the weight
+        # monotone in weight: raising the weight only ADDS survivors
+        kept_more = {
+            r.doc_id for r in weighted_sample(df, F.lit(0.6), "doc_id").collect()
+        }
+        assert kept1 <= kept_more
