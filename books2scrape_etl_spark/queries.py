@@ -55,9 +55,10 @@ WINDOW: tuple[str, ...] = (
     "sim_cosine", "sim_ann_probe", "embed_norm", "text_stats", "lang_dist",
     "multimodal_bytes", "dedup_exact", "ngram_jaccard",
     # training-data pipeline (sampling / mixture / packing / fingerprint /
-    # chunking / PII; winnow_suite = fingerprint + candidates + decontam
-    # over one shared fingerprint pass)
-    "split_train_test", "corpus_mixture", "pack_next_fit",
+    # chunking / PII; sampling_suite = split + shards + stratified +
+    # weighted; winnow_suite = fingerprint + candidates + decontam over
+    # one shared fingerprint pass)
+    "sampling_suite", "corpus_mixture", "pack_next_fit",
     "winnow_suite", "chunk_docs", "redact_pii",
     "repetition_stats", "vocab_topk",
     # joins / SQL surfaces
