@@ -480,12 +480,29 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@register("books_e2e")  # rows-only: books fixture is not an oracle view
+@register(
+    "books_e2e",
+    # golden-values oracle: the books fixture is not an oracle view, but
+    # the end-to-end result over it is deterministic — one row pinned
+    # from the fixture pages (same rationale as sources_suite 'parse')
+    """
+    SELECT CAST(3 AS BIGINT) AS total_books,
+           CAST(3 AS BIGINT) AS total_categories,
+           CAST(2364.04 AS DOUBLE) AS total_inventory_value,
+           CAST(3.0 AS DOUBLE) AS avg_rating,
+           CAST(3 AS BIGINT) AS books_in_stock
+    """,
+)
 def q_books_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete reference pipeline, offline: parse HTML fixtures
     (S1-S4) -> clean (P1-P11) -> bins (B1-B2) -> star schema (D1-D3,
     J1-J4) -> the five summary aggregates (A1-A5) as one row
-    (airflow.py's extract->transform->summarize DAG, minus SMTP)."""
+    (airflow.py's extract->transform->summarize DAG, minus SMTP).
+    Value-verified against golden numbers derived from the fixture
+    pages: 3 books, 3 categories, inventory value SUM(price*stock) =
+    51.77*22 + 53.74*20 + 50.10*3 = 2364.04, mean rating (3+1+5)/3,
+    all 3 in stock — any drift anywhere in the 4-stage chain breaks
+    the hash."""
     from books2scrape_etl_spark.plans.books import transform_books
     from books2scrape_etl_spark.plans.report import summary_aggregates
     from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
