@@ -185,3 +185,36 @@ def test_winnow_reference_window_guarantee(text, k, w):
     # every full window's minimum is selected
     for e in range(w - 1, len(hs)):
         assert min(hs[e - w + 1 : e + 1]) in fps
+
+
+def test_chunk_docs_boundary_properties(spark):
+    """For random document lengths and several (chunk_words, overlap)
+    parameterizations: chunk starts are exactly 0, stride, 2*stride, ...
+    below the word count; every chunk's text equals the corresponding
+    word slice; and the union of chunks covers every word."""
+    from books2scrape_etl_spark.operators.chunking import chunk_docs
+
+    rng = random.Random(13)
+    cases = [
+        (doc_id, " ".join(f"d{doc_id}w{i}" for i in range(rng.randint(0, 150))))
+        for doc_id in range(40)
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    for cw, ov in [(8, 0), (8, 3), (16, 15), (5, 1)]:
+        stride = cw - ov
+        by_doc: dict = {}
+        for r in chunk_docs(df, chunk_words=cw, overlap=ov).collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text in cases:
+            words = text.split(" ") if text else [""]
+            got = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+            assert [r.chunk_start for r in got] == list(
+                range(0, max(len(words), 1), stride)
+            )
+            covered = set()
+            for r in got:
+                expect = words[r.chunk_start : r.chunk_start + cw]
+                assert r.chunk_text == " ".join(expect)
+                assert r.n_words == len(expect)
+                covered.update(range(r.chunk_start, r.chunk_start + r.n_words))
+            assert covered == set(range(len(words)))
