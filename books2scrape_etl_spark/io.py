@@ -163,7 +163,7 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            return df.withColumn("ts", _epoch_long_to_ts(spark, df))
+            return df.withColumn("ts", _epoch_long_to_ts(df))
         if ts_type == "timestamp_ntz":
             # micros-NTZ vintage: reinterpret the wall-clock value as UTC so
             # the epoch matches the nanos-vintage path bit for bit. The cast
@@ -192,19 +192,26 @@ def infer_epoch_unit(sample: int) -> str:
     return next(unit for floor, unit in _EPOCH_UNIT_BANDS if v >= floor)
 
 
-def _epoch_long_to_ts(spark: SparkSession, df):
+def _epoch_long_to_ts(df):
     """TimestampType from a raw BIGINT epoch ``ts`` column, inferring the
-    unit from one sampled value instead of assuming a vintage (assuming
+    unit from sampled values instead of assuming a vintage (assuming
     nanos is exactly what broke when the physical type drifted; a raw
     int64 epoch column could just as well arrive as micros or millis).
-    The one-row sample is a LocalLimit job — first non-empty partition
-    only, even on a 100 TB table. Integer arithmetic throughout: float
-    division of epoch-nanos longs exceeds double's 53-bit mantissa and
-    rounds the last microsecond."""
+    The sample is a LocalLimit job — first non-empty partition only,
+    even on a 100 TB table; it takes the LARGEST magnitude of up to 16
+    non-null, non-zero values so a single 0/epoch-start sentinel row
+    cannot misclassify the whole column. Integer arithmetic throughout:
+    float division of epoch-nanos longs exceeds double's 53-bit
+    mantissa and rounds the last microsecond."""
     from pyspark.sql import functions as F
 
-    row = df.where(F.col("ts").isNotNull()).select("ts").first()
-    unit = infer_epoch_unit(row[0]) if row else "ns"
+    rows = (
+        df.where(F.col("ts").isNotNull() & (F.col("ts") != 0))
+        .select("ts")
+        .limit(16)
+        .collect()
+    )
+    unit = infer_epoch_unit(max(abs(r[0]) for r in rows)) if rows else "ns"
     expr = {
         "ns": "ts DIV 1000",
         "us": "ts",

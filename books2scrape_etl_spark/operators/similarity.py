@@ -216,22 +216,35 @@ def ivf_assign_pandas(emb: DataFrame, centers: list[list[float]], vec_col: str =
     stop being sensible at a few thousand lists: the expression tree
     grows O(n_lists * dim)). One matmul per Arrow batch against the
     (n_lists x dim) matrix shipped once per executor via a broadcast
-    variable; identical output to :func:`ivf_assign` (parity-tested),
-    including the tie rule (lowest list id wins — numpy argmin first-hit
-    == Catalyst array_position first-hit)."""
+    variable; same tie rule as :func:`ivf_assign` (lowest list id wins —
+    numpy argmin first-hit == Catalyst array_position first-hit),
+    parity-tested on real embeddings. Honest caveat: BLAS pairwise/FMA
+    summation can round differently from Catalyst's sequential fold in
+    the last ulp, so a vector virtually EQUIDISTANT between two
+    centroids could flip lists — harmless for ANN recall (either list
+    is equally "nearest"), but do not treat the two paths as
+    bit-interchangeable inside one index."""
     from pyspark.sql.types import IntegerType
 
     sc = emb.sparkSession.sparkContext
     c = np.asarray(centers, dtype=np.float64)  # (n_lists, dim)
+    # note: the broadcast lives until the returned plan is GC'd — reuse
+    # one indexed DataFrame per quantizer rather than re-calling per query
     bc = sc.broadcast((c, (c * c).sum(axis=1)))  # matrix + per-centroid |c|^2
 
     @F.pandas_udf(IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         mat, c2 = bc.value
-        v = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        # score = |c|^2 - 2 v.c  (monotone in L2 distance; |v|^2 constant/row)
-        scores = c2[None, :] - 2.0 * (v @ mat.T)
-        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+        # NULL embeddings null-propagate (like the Catalyst path); empty
+        # Arrow batches short-circuit (0-row matmul shapes don't)
+        out = pd.Series(pd.array([pd.NA] * len(vecs), dtype="Int32"), index=vecs.index)
+        valid = vecs[vecs.notna()]
+        if len(valid):
+            v = np.asarray(valid.tolist(), dtype=np.float64)  # (batch, dim)
+            # score = |c|^2 - 2 v.c (monotone in L2 dist; |v|^2 constant/row)
+            scores = c2[None, :] - 2.0 * (v @ mat.T)
+            out[valid.index] = np.argmin(scores, axis=1).astype("int32")
+        return out
 
     return emb.withColumn("list_id", assign(F.col(vec_col)))
 

@@ -654,6 +654,19 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_with_rank(df: DataFrame, keys: tuple, k: int, rank_col: str = "pos") -> DataFrame:
+    """Top-k-first total-order rank — THE pattern for global top-k with
+    an embedded position column: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heap top-k, one small merge —
+    never a global sort), and the partition-less rank window then runs
+    over the k survivors only. Ranking the top-k subset by the same
+    total order yields the same positions 1..k as ranking the table, at
+    O(k) window cost at any scale (enforced registry-wide by
+    tests/test_plans.py:test_no_unbounded_global_window_any_plan)."""
+    top = df.orderBy(*keys).limit(k)
+    return top.withColumn(rank_col, F.row_number().over(Window.orderBy(*keys)))
+
+
 @register(
     "sort_order",
     """
@@ -665,21 +678,14 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 — explicit total order, embedded into the data as a rank so an
     order-insensitive hash still verifies the ordering
-    (SURVEY §2.7: Spark has no implicit order). Top-k-first plan: the
-    orderBy+limit compiles to TakeOrderedAndProject (per-partition heap
-    top-k, one small merge — never a global sort), and the partition-less
-    rank window then runs over the k survivors only. Ranking the top-k
-    subset by the same total order yields the same positions 1..k as
-    ranking the table, at O(k) window cost at any scale."""
+    (SURVEY §2.7: Spark has no implicit order). Top-k-first plan via
+    :func:`topk_with_rank`."""
     keys = (F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    top = (
-        read_table(spark, "orders", sf_dir)
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(*keys)
-        .limit(100)
+    return topk_with_rank(
+        read_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice"),
+        keys,
+        100,
     )
-    w = Window.orderBy(*keys)
-    return top.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
 
 
 @register(
@@ -1020,9 +1026,10 @@ _DOT_SQL = (
 )
 
 
-@register(
-    "sim_cosine",
-    f"""
+# Exact brute-force cosine top-5 in DuckDB form — the oracle for BOTH
+# the brute-force qname (sim_cosine) and the full-probe ANN qname
+# (sim_ann_probe, query_defs5): one definition, one contract.
+BRUTE_TOPK_SQL = f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
     scored AS (
       SELECT q.q_id, e.vec_id,
@@ -1035,8 +1042,10 @@ _DOT_SQL = (
     SELECT q_id, vec_id, cos_sim,
            CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
     FROM scored QUALIFY rank <= 5
-    """,
-)
+    """
+
+
+@register("sim_cosine", BRUTE_TOPK_SQL)
 def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 — brute-force exact cosine top-5 for 5 query vectors (double
     accumulation in index order: bit-identical to the SQL oracle)."""

@@ -234,19 +234,17 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 + O2 — global top-k WITH the explicit total order embedded as
     a rank column (an order-insensitive hash still verifies ordering).
-    Top-k-first plan: orderBy+limit compiles to TakeOrderedAndProject
-    (the O1 operator — per-partition heap top-k + one small merge), and
-    the O2 total-order rank window runs over the k survivors only, not
-    the table. Same positions 1..k, O(k) window cost at any scale."""
+    Top-k-first plan via query_defs.topk_with_rank: TakeOrderedAndProject
+    (the O1 operator), then the O2 rank window over the k survivors
+    only. Same positions 1..k, O(k) window cost at any scale."""
+    from books2scrape_etl_spark.query_defs import topk_with_rank
+
     keys = (F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    top = (
-        read_table(spark, "orders", sf_dir)
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(*keys)
-        .limit(100)
+    return topk_with_rank(
+        read_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice"),
+        keys,
+        100,
     )
-    w = Window.orderBy(*keys)
-    return top.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
 
 
 @register(

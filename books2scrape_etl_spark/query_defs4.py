@@ -197,13 +197,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    from books2scrape_etl_spark.query_defs import topk_with_rank
+
     keys = (F.col("cnt").desc(), F.col("token").asc())
-    # top-k FIRST (TakeOrderedAndProject: per-partition heap + one small
-    # merge), THEN rank the k survivors — the partition-less window is
-    # O(k), never a whole-vocabulary single-task sort
-    top = counts.orderBy(*keys).limit(100)
-    w = Window.orderBy(*keys)
-    return top.select("token", "cnt", F.row_number().over(w).alias("rank"))
+    return topk_with_rank(counts, keys, 100, rank_col="rank")
 
 
 @register(

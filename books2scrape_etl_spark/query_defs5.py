@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
 from books2scrape_etl_spark.queries import register
-from books2scrape_etl_spark.query_defs import _DOT_SQL
+from books2scrape_etl_spark.query_defs import BRUTE_TOPK_SQL
 from books2scrape_etl_spark.query_defs4 import _WINNOW_FPS_CTE
 from books2scrape_etl_spark.operators import similarity
 from books2scrape_etl_spark.operators.chunking import chunk_docs, oracle_chunk_sql
@@ -140,14 +140,18 @@ def _pii_suffix_spark() -> list:
     return [
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
-        F.lit("@example.com or 555-867-5309; card 4111 1111 1111 1111; host 10.0.0."),
+        F.lit(
+            "@example.com or 555-867-5309; ssn 987-65-4329;"
+            " card 4111 1111 1111 1111; host 10.0.0."
+        ),
         (F.col("doc_id") % 256).cast("string"),
     ]
 
 
 _PII_SUFFIX_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-    "'@example.com or 555-867-5309; card 4111 1111 1111 1111; host 10.0.0.' || "
+    "'@example.com or 555-867-5309; ssn 987-65-4329;"
+    " card 4111 1111 1111 1111; host 10.0.0.' || "
     "CAST(doc_id % 256 AS VARCHAR)"
 )
 
@@ -186,23 +190,9 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@register(
-    "sim_ann_probe",
-    f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
-    scored AS (
-      SELECT q.q_id, e.vec_id,
-             round({_DOT_SQL.format(a='q.q_vec', b='e.embedding')} /
-                   (sqrt({_DOT_SQL.format(a='q.q_vec', b='q.q_vec')}) *
-                    sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 6) AS cos_sim
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id <> q.q_id
-    )
-    SELECT q_id, vec_id, cos_sim,
-           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
-    FROM scored QUALIFY rank <= 5
-    """,
-)
+# the oracle IS sim_cosine's brute-force SQL (one shared definition in
+# query_defs.py): full probing must reproduce the exact result
+@register("sim_ann_probe", BRUTE_TOPK_SQL)
 def q_sim_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path, value-verified: IVF ANN top-5 probing ALL lists
     (``n_probe = n_lists = 8``) — the lists partition the corpus, so

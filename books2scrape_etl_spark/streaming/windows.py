@@ -90,7 +90,8 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    ts_read = dict(spark.read.parquet(src).dtypes)["ts"]
+    probe = spark.read.parquet(src)
+    ts_read = dict(probe.dtypes)["ts"]
     ts_type: T.DataType = {
         "bigint": T.LongType(),
         "timestamp_ntz": T.TimestampNTZType(),
@@ -116,14 +117,12 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
             os.symlink(src, link)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     if ts_read == "bigint":
-        # raw epoch longs: infer the unit (ns/us/ms/s) from one sampled
-        # value of the batch probe — same magnitude rule as io.py; a
+        # raw epoch longs: infer the unit (ns/us/ms/s) from sampled
+        # values of the batch probe — same magnitude rule as io.py; a
         # streaming source can't run the sample job itself
         from books2scrape_etl_spark.io import _epoch_long_to_ts
 
-        return raw.withColumn(
-            "ts", _epoch_long_to_ts(spark, spark.read.parquet(src))
-        )
+        return raw.withColumn("ts", _epoch_long_to_ts(probe))
     if ts_read == "timestamp_ntz":
         # micros-NTZ vintage: reinterpret wall clock as UTC epoch
         spark.conf.set("spark.sql.session.timeZone", "UTC")

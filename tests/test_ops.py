@@ -378,3 +378,22 @@ def test_ivf_pandas_assignment_matches_catalyst(spark, sf_dir):
         for r in similarity.ivf_assign_pandas(emb, centers).collect()
     }
     assert pandas_path == catalyst
+
+
+def test_ivf_pandas_assignment_null_propagates(spark):
+    """NULL embeddings must yield NULL list_id (like the Catalyst path),
+    not crash the Arrow batch."""
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=None),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    centers = [[1.0, 0.0], [0.0, 1.0]]
+    rows = {r.vec_id: r.list_id for r in similarity.ivf_assign_pandas(emb, centers).collect()}
+    assert rows[0] == 0 and rows[2] == 1
+    assert rows[1] is None

@@ -111,20 +111,20 @@ def test_bucketed_join_no_input_exchange(spark, sf_dir):
     assert "o_orderpriority" in agg_line
 
 
-def _global_window_lines(plan: str) -> list[str]:
-    """Window nodes with NO partition spec. In simple-explain text a
-    partitioned window prints three bracket groups
-    (``Window [exprs], [partExprs], [orderSpec]``); a partition-less one
-    prints two. Partition-less means Spark moves ALL input rows to one
-    task — a scale-killer unless the input is already bounded."""
-    return [
-        l
-        for l in plan.splitlines()
-        if "Window [" in l and l.count("], [") == 1
-    ]
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """simple-explain text for every non-stream registered qname,
+    built ONCE for all whole-registry lint tests (several qnames —
+    stream_windows_suite, books_e2e — EXECUTE real work on invocation,
+    so each extra full-registry pass is expensive)."""
+    return {
+        qname: explain_str(fn(spark, sf_dir), "simple")
+        for qname, fn in QUERIES.items()
+        if not qname.endswith("_rt")
+    }
 
 
-def test_no_unbounded_global_window_any_plan(spark, sf_dir):
+def test_no_unbounded_global_window_any_plan(registry_plans):
     """Every partition-less WindowExec in every registered non-stream
     plan must sit directly above a bounded input (TakeOrderedAndProject /
     GlobalLimit) — i.e. rank-the-top-k, never sort-the-world (VERDICT r3
@@ -145,12 +145,14 @@ def test_no_unbounded_global_window_any_plan(spark, sf_dir):
         "join_null_safe",  # build_dim surrogate key
         "surrogate_key",  # build_dim surrogate key
     }
-    for qname, fn in QUERIES.items():
-        if qname.endswith("_rt") or qname in documented_exact_ok:
+    for qname, plan in registry_plans.items():
+        if qname in documented_exact_ok:
             continue
-        plan = explain_str(fn(spark, sf_dir), "simple")
         lines = plan.splitlines()
         for i, l in enumerate(lines):
+            # a partitioned window prints three bracket groups
+            # (`Window [exprs], [partExprs], [orderSpec]`); a
+            # partition-less one prints two
             if "Window [" in l and l.count("], [") == 1:
                 nxt = lines[i + 1] if i + 1 < len(lines) else ""
                 assert "TakeOrderedAndProject" in nxt or "GlobalLimit" in nxt, (
@@ -158,7 +160,7 @@ def test_no_unbounded_global_window_any_plan(spark, sf_dir):
                 )
 
 
-def test_plan_lint_whole_registry(spark, sf_dir):
+def test_plan_lint_whole_registry(registry_plans):
     """Scale-regression gate over EVERY registered query plan:
 
     - no CartesianProduct anywhere (an unintended cross join at 100 TB
@@ -173,19 +175,13 @@ def test_plan_lint_whole_registry(spark, sf_dir):
     Real-stream queries (*_rt) execute on invocation, so they are
     exercised by their own tests instead.
     """
-    from books2scrape_etl_spark.queries import ORACLE_SQL
-
     # udtf_sentences IS the deliberate row-at-a-time surface: a Python
     # UDTF demonstrating the imperative 1->N API (the relational
     # explode_split is the default path and stays lint-clean)
     row_python_ok = {"udtf_sentences"}
-    skipped = 0
-    for qname, fn in QUERIES.items():
-        if qname.endswith("_rt"):
-            skipped += 1
-            continue
-        plan = explain_str(fn(spark, sf_dir), "simple")
+    for qname, plan in registry_plans.items():
         assert "CartesianProduct" not in plan, qname
         if qname not in row_python_ok:
             assert "BatchEvalPython" not in plan, qname
+    skipped = len(QUERIES) - len(registry_plans)
     assert skipped >= 6  # the rt family exists and was excluded
