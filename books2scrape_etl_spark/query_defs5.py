@@ -172,8 +172,8 @@ _PII_SUFFIX_SQL = (
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (operators/privacy.py): per-category match counts
     on the original text plus the redacted text, over documents with a
-    deterministic planted-PII suffix (email, phone, card, IPv4 per
-    row — so all five patterns exercise their match path, not just
+    deterministic planted-PII suffix (email, phone, SSN, card, IPv4 —
+    all five patterns exercise their match path on every row, not just
     no-match). Pure chained regexp_replace — JVM-side, codegen'd, zero
     shuffle; the ordered pattern tuple is the cross-engine contract the
     DuckDB oracle replays with nested regexp_replace(..., 'g')."""
@@ -323,3 +323,88 @@ def _register_sampling_suite() -> None:
 from books2scrape_etl_spark.queries import QUERIES  # noqa: E402
 
 _register_sampling_suite()
+
+
+# =====================================================================
+# two more classic TPC-H shapes (breadth past the window; the bench
+# headline keeps its stable 16-query list)
+# =====================================================================
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): rank customers by
+    revenue lost to returns. Fact-fact join on orderkey, returnflag
+    filter pushed to the lineitem scan, broadcast nation dim, exact-
+    decimal revenue, TakeOrderedAndProject top-20 with a custkey
+    tiebreak."""
+    from books2scrape_etl_spark.functions.agg import sum_exact
+
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    n = read_table(spark, "nation", sf_dir)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) = 1996
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes), adapted to the
+    testdata's columns (l_linestatus stands in for shipmode): one year
+    of shipments, lines counted into high/low priority classes via
+    conditional aggregation. Year extraction is UTC-pinned on both
+    engines; counts are BIGINT-cast in the oracle (DuckDB SUM->HUGEINT
+    rule)."""
+    from books2scrape_etl_spark.query_defs import _utc
+
+    _utc(spark)
+    o = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir).where(F.year("l_shipdate") == 1996)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
