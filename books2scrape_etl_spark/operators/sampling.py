@@ -107,6 +107,38 @@ def stratified_sample(
     )
 
 
+def stratified_sample_threshold(
+    df: DataFrame,
+    strata_cols: list[str],
+    key: Column | str,
+    n_per_stratum: int,
+    resolution: int = 1 << 32,
+) -> DataFrame:
+    """The scale form of :func:`stratified_sample` for ultra-hot strata:
+    instead of a per-stratum sequential rank (a window whose hot-stratum
+    task sorts millions of rows), keep rows whose portable hash falls
+    under a per-stratum threshold::
+
+        keep iff hash_bucket(key, R) < R * min(1, quota / stratum_count)
+
+    One small aggregation (stratum cardinality rows) broadcast back, then
+    a map-side filter — no window, no per-stratum sort, as parallel as
+    the scan. The trade: the quota is EXPECTED, not exact (binomial
+    around ``n_per_stratum``); the chosen subset is still fully
+    deterministic and engine-portable, so an oracle re-derives it
+    row-for-row. Adds ``_frac`` (the applied keep fraction) for
+    accounting."""
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_n"))
+    frac = F.least(F.lit(1.0), F.lit(float(n_per_stratum)) / F.col("_n"))
+    hv = hash_bucket(key, resolution)
+    return (
+        df.join(F.broadcast(counts), strata_cols)
+        .withColumn("_frac", frac)
+        .where(hv < F.col("_frac") * F.lit(float(resolution)))
+        .drop("_n")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

@@ -408,3 +408,31 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "stratified_threshold",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS _n
+      FROM documents GROUP BY lang, source),
+    s AS (
+      SELECT d.doc_id, d.lang, d.source,
+             least(1.0, 3.0 / c._n) AS _frac,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4294967296 AS hv
+      FROM documents d JOIN c USING (lang, source))
+    SELECT doc_id, lang, source, _frac FROM s WHERE hv < _frac * 4294967296.0
+    """,
+)
+def q_stratified_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-stratum scale form of stratified sampling
+    (operators/sampling.py:stratified_sample_threshold): per-stratum
+    keep threshold = quota / stratum count, applied as a map-side hash
+    filter — no per-stratum rank window, no sequential sort, expected
+    (not exact) quota. Deterministic and engine-portable: the oracle
+    re-derives stratum counts, thresholds, and the exact kept subset."""
+    from books2scrape_etl_spark.operators.sampling import stratified_sample_threshold
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample_threshold(docs, ["lang", "source"], "doc_id", 3)

@@ -311,3 +311,54 @@ class TestWeightedSample:
             r.doc_id for r in weighted_sample(df, F.lit(0.6), "doc_id").collect()
         }
         assert kept1 <= kept_more
+
+
+class TestStratifiedThreshold:
+    def test_deterministic_and_tracks_quota(self, spark):
+        from books2scrape_etl_spark.operators.sampling import (
+            stratified_sample_threshold,
+        )
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, g="hot" if i < 1800 else "cold") for i in range(2000)]
+        )
+        kept1 = {
+            r.doc_id
+            for r in stratified_sample_threshold(df, ["g"], "doc_id", 50).collect()
+        }
+        kept2 = {
+            r.doc_id
+            for r in stratified_sample_threshold(df, ["g"], "doc_id", 50).collect()
+        }
+        assert kept1 == kept2  # same survivors every run
+        rows = stratified_sample_threshold(df, ["g"], "doc_id", 50).collect()
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(r.g, 0)
+            by_g[r.g] += 1
+        # expected 50 per stratum; binomial spread allowed
+        assert 25 <= by_g["hot"] <= 80
+        # cold stratum (200 rows, quota 50): frac = 0.25 applied
+        assert 30 <= by_g["cold"] <= 75
+
+    def test_small_stratum_keeps_everything(self, spark):
+        from books2scrape_etl_spark.operators.sampling import (
+            stratified_sample_threshold,
+        )
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(doc_id=i, g="tiny") for i in range(10)])
+        rows = stratified_sample_threshold(df, ["g"], "doc_id", 20).collect()
+        assert len(rows) == 10  # quota >= count -> frac clamps to 1.0
+        assert all(r._frac == 1.0 for r in rows)
+
+    def test_no_window_in_plan(self, spark):
+        from books2scrape_etl_spark.operators.sampling import (
+            stratified_sample_threshold,
+        )
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(doc_id=i, g=str(i % 3)) for i in range(300)])
+        plan = stratified_sample_threshold(df, ["g"], "doc_id", 10)._jdf.queryExecution().toString()
+        assert "Window" not in plan  # the whole point of the threshold form
