@@ -436,3 +436,87 @@ def q_stratified_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
     return stratified_sample_threshold(docs, ["lang", "source"], "doc_id", 3)
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT round(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                        AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE), 4) AS promo_revenue,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) = 1997
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional revenue vs total
+    revenue over one shipment year, part dim broadcast. Both sums stay
+    exact-decimal and are emitted SEPARATELY rather than as the classic
+    ratio — the ratio's IEEE division is trivially derivable while two
+    exact sums hash-verify without any float-rounding hazard."""
+    from books2scrape_etl_spark.functions.agg import sum_exact
+    from books2scrape_etl_spark.query_defs import _utc
+
+    _utc(spark)
+    li = read_table(spark, "lineitem", sf_dir).where(F.year("l_shipdate") == 1997)
+    p = read_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(sum_exact(promo, 4), 4).alias("promo_revenue"),
+            F.round(sum_exact(rev, 4), 4).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           round(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 300, rejoined to customer detail. The HAVING
+    pre-aggregation is a semi-join-shaped reduction BEFORE the 3-way
+    join (only big orderkeys reach it — at scale the small 'big' set is
+    broadcast by AQE); exact-decimal quantity sums; top-100 via
+    TakeOrderedAndProject with an orderkey tiebreak."""
+    from books2scrape_etl_spark.functions.agg import sum_exact
+
+    li = read_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(sum_exact("l_quantity", 2).alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        li.join(big, "l_orderkey")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(sum_exact("l_quantity", 2), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
