@@ -12,10 +12,13 @@ an edge format for parity with the reference (extract_pipeline.py:89).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -163,13 +166,13 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            return df.withColumn("ts", _epoch_long_to_ts(df))
+            return df.withColumn("ts", _epoch_long_to_ts(df, path))
         if ts_type == "timestamp_ntz":
             # micros-NTZ vintage: reinterpret the wall-clock value as UTC so
             # the epoch matches the nanos-vintage path bit for bit. The cast
             # resolves against the session TZ at analysis time — pin it here
             # rather than trusting the caller to have done so.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _pin_utc(spark)
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df  # already a session-TZ timestamp — pass through
     return spark.read.parquet(path)
@@ -192,26 +195,60 @@ def infer_epoch_unit(sample: int) -> str:
     return next(unit for floor, unit in _EPOCH_UNIT_BANDS if v >= floor)
 
 
-def _epoch_long_to_ts(df):
+# epoch-unit inference memo: (path, file-mtime) -> unit. The sample job
+# is one LocalLimit collect; without the memo it re-runs on EVERY plan
+# construction over the bigint vintage (ADVICE r4). mtime in the key
+# invalidates the entry when the driver regenerates the testdata.
+_EPOCH_UNIT_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _path_mtime(path: str) -> float:
+    """Latest mtime under ``path`` (parquet 'files' are often directories
+    of part files; the dir mtime alone misses in-place part rewrites)."""
+    try:
+        if os.path.isdir(path):
+            times = [os.path.getmtime(path)]
+            for entry in os.scandir(path):
+                times.append(entry.stat().st_mtime)
+            return max(times)
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0  # unstat-able (e.g. remote FS) -> cache per path only
+
+
+def _epoch_long_to_ts(df, path: str = ""):
     """TimestampType from a raw BIGINT epoch ``ts`` column, inferring the
     unit from sampled values instead of assuming a vintage (assuming
     nanos is exactly what broke when the physical type drifted; a raw
     int64 epoch column could just as well arrive as micros or millis).
     The sample is a LocalLimit job — first non-empty partition only,
-    even on a 100 TB table; it takes the LARGEST magnitude of up to 16
-    non-null, non-zero values so a single 0/epoch-start sentinel row
-    cannot misclassify the whole column. Integer arithmetic throughout:
-    float division of epoch-nanos longs exceeds double's 53-bit
-    mantissa and rounds the last microsecond."""
+    even on a 100 TB table; it takes the MEDIAN magnitude of up to 16
+    non-null, non-zero values so neither a 0/epoch-start sentinel nor a
+    few corrupt oversized values can misclassify the whole column. The
+    result is memoized per (path, mtime) so the job runs once per file
+    vintage, not once per plan construction, and the chosen unit is
+    logged so a misclassification is visible. Integer arithmetic
+    throughout: float division of epoch-nanos longs exceeds double's
+    53-bit mantissa and rounds the last microsecond."""
     from pyspark.sql import functions as F
 
-    rows = (
-        df.where(F.col("ts").isNotNull() & (F.col("ts") != 0))
-        .select("ts")
-        .limit(16)
-        .collect()
-    )
-    unit = infer_epoch_unit(max(abs(r[0]) for r in rows)) if rows else "ns"
+    cache_key = (path, _path_mtime(path)) if path else None
+    unit = _EPOCH_UNIT_CACHE.get(cache_key) if cache_key else None
+    if unit is None:
+        rows = (
+            df.where(F.col("ts").isNotNull() & (F.col("ts") != 0))
+            .select("ts")
+            .limit(16)
+            .collect()
+        )
+        if rows:
+            mags = sorted(abs(r[0]) for r in rows)
+            unit = infer_epoch_unit(mags[len(mags) // 2])
+        else:
+            unit = "ns"
+        _log.info("epoch unit for %s: %s (from %d samples)", path or "<df>", unit, len(rows))
+        if cache_key:
+            _EPOCH_UNIT_CACHE[cache_key] = unit
     expr = {
         "ns": "ts DIV 1000",
         "us": "ts",
@@ -219,6 +256,28 @@ def _epoch_long_to_ts(df):
         "s": "ts * 1000000",
     }[unit]
     return F.timestamp_micros(F.expr(expr))
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin the session TZ to UTC for NTZ-reinterpretation reads, loudly.
+
+    The cast that follows resolves against the session TZ at analysis
+    time, so a save-and-restore would silently break the lazy plan; the
+    session must genuinely stay UTC. session.py pins UTC at creation, so
+    in-repo this never fires a warning — but a caller embedding the
+    readers in a non-UTC session deserves to hear that later queries'
+    timestamp semantics just changed (ADVICE r4)."""
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"read_table(events): session timeZone changed {prev!r} -> 'UTC' "
+            "to reinterpret a TIMESTAMP_NTZ vintage; this affects the whole "
+            "session",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def read_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

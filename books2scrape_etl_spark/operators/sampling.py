@@ -127,13 +127,24 @@ def stratified_sample_threshold(
     around ``n_per_stratum``); the chosen subset is still fully
     deterministic and engine-portable, so an oracle re-derives it
     row-for-row. Adds ``_frac`` (the applied keep fraction) for
-    accounting."""
+    accounting.
+
+    NULL strata are real strata: the count join is null-safe
+    (``IS NOT DISTINCT FROM``), so rows with a NULL stratum column get
+    the NULL group's quota instead of being silently dropped — same
+    grouping rule as the groupBy that computes the counts."""
     counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_n"))
     frac = F.least(F.lit(1.0), F.lit(float(n_per_stratum)) / F.col("_n"))
     hv = hash_bucket(key, resolution)
+    cond = None
+    for c in strata_cols:
+        eq = df[c].eqNullSafe(counts[c])
+        cond = eq if cond is None else (cond & eq)
+    joined = df.join(F.broadcast(counts), cond)
+    for c in strata_cols:
+        joined = joined.drop(counts[c])
     return (
-        df.join(F.broadcast(counts), strata_cols)
-        .withColumn("_frac", frac)
+        joined.withColumn("_frac", frac)
         .where(hv < F.col("_frac") * F.lit(float(resolution)))
         .drop("_n")
     )

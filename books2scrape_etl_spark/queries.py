@@ -38,6 +38,7 @@ from books2scrape_etl_spark import query_defs2  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs3  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs4  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs5  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -49,39 +50,46 @@ from books2scrape_etl_spark import query_defs5  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
+# Round-5 rotation (VERDICT r4 item 1): the 22 oracle-paired qnames that
+# had never occupied a driver slot rotate IN; 22 multi-round-green entries
+# (each with >=2 hard driver rows across r1/r2/r4: tpch_q3/q5,
+# corpus_curation, sim_cosine, embed_norm, text_stats, lang_dist,
+# multimodal_bytes, dedup_exact, ngram_jaccard, corpus_mixture,
+# pack_next_fit, repetition_stats, vocab_topk, asof_join_general, sql_api,
+# pivot_unpivot_suite, subquery_suite, grouping_sets, agg_having,
+# scalar_funcs_suite, date_funcs, ...) rotate OUT to the just-past-window
+# oracle-paired block. Rotate them back in round 6.
 WINDOW: tuple[str, ...] = (
-    # headline + TPC-H shapes + LLM-pipeline north stars
-    "flagship", "tpch_q3", "tpch_q5", "corpus_curation",
-    "sim_cosine", "sim_ann_probe", "embed_norm", "text_stats", "lang_dist",
-    "multimodal_bytes", "dedup_exact", "ngram_jaccard",
-    # training-data pipeline (sampling / mixture / packing / fingerprint /
-    # chunking / PII; sampling_suite = split + shards + stratified +
-    # weighted; winnow_suite = fingerprint + candidates + decontam over
-    # one shared fingerprint pass)
-    "sampling_suite", "corpus_mixture", "pack_next_fit",
-    "winnow_suite", "chunk_docs", "redact_pii",
-    "repetition_stats", "vocab_topk",
-    # joins / SQL surfaces
-    "asof_join_general", "sql_api",
-    "pivot_unpivot_suite", "subquery_suite",
-    "grouping_sets", "agg_having",
+    # headline + TPC-H shapes + the end-to-end reference DAG
+    "flagship", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
+    "books_e2e", "corpus_build",
+    # training-data pipeline (sampling / fingerprint / chunking / PII;
+    # sampling_suite = split + shards + stratified + weighted;
+    # winnow_suite = fingerprint + candidates + decontam)
+    "sim_ann_probe", "sampling_suite", "winnow_suite",
+    "chunk_docs", "redact_pii",
+    "weighted_sample", "stratified_sample", "stratified_threshold",
+    "shuffle_shards", "decontaminate",
+    # SQL-surface singles (their wrapping suites are multi-green; the
+    # singles now earn their own driver rows)
+    "pivot", "unpivot", "scalar_subquery", "correlated_subquery",
+    "in_subquery",
+    # joins / windows / scalar-function singles
+    "join_asof", "join_bucketed", "window_lag_lead", "agg_stats",
+    "string_funcs", "math_funcs",
     # MERGE / streaming join / sketch
     "scd2_upsert", "stream_join", "sketch_kmv",
-    "scalar_funcs_suite", "date_funcs",
-    # (partition_pruning moved just past the window: its real gate is the
-    # dedicated PartitionFilters plan test in tests/test_plans.py)
     "udaf_grouped", "grouped_map",
     "surrogate_key_scale", "join_salted", "explode_split",
+    # TPC-H Q1/Q4/Q6 packed into one slot (r5; singles just past window)
+    "tpch_suite",
     # component suites (each packs 2-5 single-operator qnames)
-    "columns_part_suite", "columns_lineitem_suite", "distinct_suite",
+    # (columns_part_suite rotated out in r5 — 2 green rows r2+r4)
+    "columns_lineitem_suite", "distinct_suite",
     "semi_anti_suite", "set_ops_suite", "window_suite", "topk_ordered",
     "json_map_ops",
     # consolidated component suites for sources / cleaning / streaming
-    # (the standalone singles stay registered right after the window)
     "sources_suite", "clean_suite", "stream_windows_suite",
-    # representative singles for the remaining components (agg_summary
-    # moved just past the window: A1-A5 stay covered transitively by
-    # flagship, which computes the same summary block)
     "join_fact", "join_sortmerge", "array_ops",
 )
 

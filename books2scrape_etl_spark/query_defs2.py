@@ -119,18 +119,20 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery",
     """
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in a filter (Catalyst rewrites to a one-row
     broadcast join). avg threshold comparison only — no float crosses
-    the output boundary."""
+    the output boundary. Threshold 1.5x keeps the result non-empty on
+    the driver testdata (2x matched zero orders — a 0-row hash match
+    proves nothing)."""
     read_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice FROM v_orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM v_orders)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM v_orders)
         """
     )
 

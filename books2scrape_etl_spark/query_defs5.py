@@ -305,7 +305,10 @@ def _register_sampling_suite() -> None:
             F.lit("strat").alias("kind"),
             F.col("doc_id").cast("long").alias("k1"),
             F.lit(None).cast("long").alias("k2"),
-            F.concat_ws("|", "lang", "source").alias("s"),
+            # F.concat, not concat_ws: the oracle's `lang || '|' || source`
+            # is null-PROPAGATING and concat_ws null-SKIPS — parity must
+            # not depend on lang/source being non-null in the testdata
+            F.concat(F.col("lang"), F.lit("|"), F.col("source")).alias("s"),
             F.col("rn").cast("int").alias("n"),
             null_d.alias("v"),
         )
@@ -421,7 +424,9 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
              least(1.0, 3.0 / c._n) AS _frac,
              CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 4294967296 AS hv
-      FROM documents d JOIN c USING (lang, source))
+      FROM documents d JOIN c
+        ON d.lang IS NOT DISTINCT FROM c.lang
+       AND d.source IS NOT DISTINCT FROM c.source)
     SELECT doc_id, lang, source, _frac FROM s WHERE hv < _frac * 4294967296.0
     """,
 )

@@ -1,0 +1,246 @@
+"""Wave-6 qnames (VERDICT r4 item 5): TPC-H completion — the three
+classic shapes still missing proper forms (Q1 pricing summary, Q4
+order-priority EXISTS, Q6 forecast-revenue filter) as oracle-paired
+singles, packed into ONE window slot (``tpch_suite``) the way the other
+component suites are.
+
+Adaptations to the driver testdata (TESTDATA.md): ``lineitem`` carries
+no commitdate/receiptdate, so Q4's EXISTS predicate becomes a quantity
+threshold — the shape under test (decorrelated EXISTS -> left-semi join
+feeding a priority GROUP BY) is unchanged. No reference analogue (the
+reference computes one summary row per book batch); these belong to the
+relational-completeness mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.agg import (
+    avg_exact,
+    oracle_avg_exact,
+    oracle_sum_exact,
+    sum_exact,
+)
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES, register
+from books2scrape_etl_spark.query_defs import _utc
+
+
+@register(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round({oracle_sum_exact("l_quantity", 2)}, 2) AS sum_qty,
+           round({oracle_sum_exact("l_extendedprice", 2)}, 2) AS sum_base_price,
+           round({oracle_sum_exact("l_extendedprice * (1 - l_discount)", 4)}, 4)
+             AS sum_disc_price,
+           round({oracle_sum_exact(
+               "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}, 6)
+             AS sum_charge,
+           round({oracle_avg_exact("l_quantity", 2)}, 6) AS avg_qty,
+           round({oracle_avg_exact("l_extendedprice", 2)}, 6) AS avg_price,
+           round({oracle_avg_exact("l_discount", 4)}, 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 proper (pricing summary report): the full 8-aggregate
+    block per (returnflag, linestatus). One scan, partial+final agg on
+    a 6-group key — the canonical map-side-combine query; at 100 TB it
+    is scan-bound and shuffles six rows per task. The shipdate cutoff
+    compares epoch longs (TZ-free on both engines); money aggregates go
+    through the exact-decimal helpers, averages divide the exact sum by
+    the count and round at 6 digits so no engine-order float noise
+    crosses the compare boundary. The cutoff is a timestamp literal
+    under a UTC-pinned session (works for both the LTZ and NTZ physical
+    vintages of l_shipdate; the timestamp never crosses the output
+    boundary)."""
+    _utc(spark)
+    li = read_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(sum_exact("l_quantity", 2), 2).alias("sum_qty"),
+            F.round(sum_exact("l_extendedprice", 2), 2).alias("sum_base_price"),
+            F.round(sum_exact(disc_price, 4), 4).alias("sum_disc_price"),
+            F.round(sum_exact(charge, 6), 6).alias("sum_charge"),
+            F.round(avg_exact("l_quantity", 2), 6).alias("avg_qty"),
+            F.round(avg_exact("l_extendedprice", 2), 6).alias("avg_price"),
+            F.round(avg_exact("l_discount", 4), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) = 1996
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): one order-year, EXISTS
+    over lineitem, counts per priority class. The EXISTS is expressed as
+    a left-semi join — Catalyst's own decorrelation target — so each
+    order is counted once no matter how many qualifying lines it has.
+    The semi join shuffles only orderkeys; the priority GROUP BY is a
+    5-group map-side combine. (Testdata has no commitdate/receiptdate;
+    the quantity threshold stands in for the late-delivery predicate —
+    same plan shape.)"""
+    _utc(spark)
+    o = read_table(spark, "orders", sf_dir).where(F.year("o_orderdate") == 1996)
+    li = read_table(spark, "lineitem", sf_dir).where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6",
+    f"""
+    SELECT round({oracle_sum_exact("l_extendedprice * l_discount", 4)}, 4)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(strftime(l_shipdate, '%Y') AS INTEGER) = 1996
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 proper (forecast revenue change): pure scan-filter-sum,
+    zero joins — the query whose entire cost at 100 TB is how much of
+    the scan the format can skip. All three predicates push down to the
+    parquet reader (shown as PushedFilters; discount/quantity are plain
+    comparisons, the year bound prunes row groups by l_shipdate stats);
+    the aggregate is a single exact-decimal sum plus a count."""
+    _utc(spark)
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(sum_exact(F.col("l_extendedprice") * F.col("l_discount"), 4), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# =====================================================================
+# tpch_suite — Q1 + Q4 + Q6 in one window slot (union-normalized to
+# (kind, s, k, v); the singles stay registered right past the window)
+# =====================================================================
+
+
+def _register_tpch_suite() -> None:
+    # composed after the singles register (same import-order pattern as
+    # query_defs4/5 suites): the suite oracle IS the singles' oracles,
+    # so the two can never drift apart.
+    q1_measures = [
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+    ]
+    q1_rows = "\nUNION ALL\n".join(
+        f"""SELECT 'q1' AS kind,
+                   l_returnflag || '|' || l_linestatus || '|{m}' AS s,
+                   CAST(NULL AS BIGINT) AS k, {m} AS v FROM q1"""
+        for m in q1_measures
+    )
+    oracle = f"""
+    WITH q1 AS ({ORACLE_SQL["tpch_q1"]})
+    {q1_rows}
+    UNION ALL
+    SELECT 'q1', l_returnflag || '|' || l_linestatus || '|count_order',
+           count_order, CAST(NULL AS DOUBLE)
+    FROM q1
+    UNION ALL
+    SELECT 'q4', o_orderpriority, order_count, CAST(NULL AS DOUBLE)
+    FROM ({ORACLE_SQL["tpch_q4"]})
+    UNION ALL
+    SELECT 'q6', 'revenue', n_lines, revenue
+    FROM ({ORACLE_SQL["tpch_q6"]})
+    """
+
+    @register("tpch_suite", oracle)
+    def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q1/Q4/Q6 in one driver slot: Q1's 8 aggregates unpivot
+        to one row per (group, measure), Q4 contributes per-priority
+        counts, Q6 its single revenue row. One value hash pins all
+        three shapes."""
+        null_k = F.lit(None).cast("long")
+        null_v = F.lit(None).cast("double")
+        q1 = QUERIES["tpch_q1"](spark, sf_dir)
+        # F.concat (null-propagating) to match the oracle's `||`
+        grp = F.concat(F.col("l_returnflag"), F.lit("|"), F.col("l_linestatus"))
+        q1_m = q1.select(
+            F.lit("q1").alias("kind"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.concat(grp, F.lit(f"|{m}")).alias("s"),
+                            null_k.alias("k"),
+                            F.col(m).cast("double").alias("v"),
+                        )
+                        for m in (
+                            "sum_qty",
+                            "sum_base_price",
+                            "sum_disc_price",
+                            "sum_charge",
+                            "avg_qty",
+                            "avg_price",
+                            "avg_disc",
+                        )
+                    ],
+                    F.struct(
+                        F.concat(grp, F.lit("|count_order")).alias("s"),
+                        F.col("count_order").cast("long").alias("k"),
+                        null_v.alias("v"),
+                    ),
+                )
+            ).alias("m"),
+        ).select("kind", "m.s", "m.k", "m.v")
+        q4 = QUERIES["tpch_q4"](spark, sf_dir).select(
+            F.lit("q4").alias("kind"),
+            F.col("o_orderpriority").alias("s"),
+            F.col("order_count").cast("long").alias("k"),
+            null_v.alias("v"),
+        )
+        q6 = QUERIES["tpch_q6"](spark, sf_dir).select(
+            F.lit("q6").alias("kind"),
+            F.lit("revenue").alias("s"),
+            F.col("n_lines").cast("long").alias("k"),
+            F.col("revenue").cast("double").alias("v"),
+        )
+        return q1_m.union(q4).union(q6)
+
+
+_register_tpch_suite()

@@ -107,14 +107,19 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     # directory would be). ``copies`` symlinks the file N times — a
     # genuinely duplicated stream for exercising dedup (every event
     # arrives ``copies`` times; exactly-once semantics must collapse it).
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash((src, copies))) % 10**8}"
-    )
+    # Dir name = md5 of (src, copies): stable across processes (Python's
+    # salted hash() minted a fresh dir per driver run, leaking stale
+    # /tmp dirs each round — ADVICE r4); cleared on entry so a layout
+    # change never coexists with old symlinks.
+    import hashlib
+    import shutil
+
+    digest = hashlib.md5(f"{src}|{copies}".encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
+    shutil.rmtree(stream_dir, ignore_errors=True)
     os.makedirs(stream_dir, exist_ok=True)
     for i in range(copies):
-        link = os.path.join(stream_dir, f"events_{i}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        os.symlink(src, os.path.join(stream_dir, f"events_{i}.parquet"))
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     if ts_read == "bigint":
         # raw epoch longs: infer the unit (ns/us/ms/s) from sampled
@@ -122,10 +127,12 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
         # streaming source can't run the sample job itself
         from books2scrape_etl_spark.io import _epoch_long_to_ts
 
-        return raw.withColumn("ts", _epoch_long_to_ts(probe))
+        return raw.withColumn("ts", _epoch_long_to_ts(probe, src))
     if ts_read == "timestamp_ntz":
         # micros-NTZ vintage: reinterpret wall clock as UTC epoch
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from books2scrape_etl_spark.io import _pin_utc
+
+        _pin_utc(spark)
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 

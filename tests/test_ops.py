@@ -368,16 +368,38 @@ def test_ivf_pandas_assignment_matches_catalyst(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centers = similarity.kmeans_centroids(emb, n_lists=8)
     catalyst = {
-        (r.vec_id, r.list_id)
+        r.vec_id: r.list_id
         for r in emb.withColumn(
             "list_id", similarity.ivf_assign(F.col("embedding"), centers)
         ).collect()
     }
     pandas_path = {
-        (r.vec_id, r.list_id)
+        r.vec_id: r.list_id
         for r in similarity.ivf_assign_pandas(emb, centers).collect()
     }
-    assert pandas_path == catalyst
+    diff = {v for v in catalyst if catalyst[v] != pandas_path.get(v)}
+    if diff:
+        # BLAS matmul vs codegen'd fold can round the last ulp apart;
+        # for a vector whose two best centroids score within epsilon the
+        # argmin may legitimately flip. Only a mismatch on a vector with
+        # a CLEAR winner is a real bug (ADVICE r4: don't let testdata
+        # drift make this flaky).
+        import numpy as np
+
+        c = np.asarray(centers, dtype=np.float64)
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()
+            if r.vec_id in diff
+        }
+        for vid, v in vecs.items():
+            d = ((c - v) ** 2).sum(axis=1)
+            best2 = np.sort(d)[:2]
+            gap = abs(best2[1] - best2[0])
+            assert gap <= 1e-9 * max(1.0, best2[1]), (
+                f"vec {vid}: lists {catalyst[vid]} vs {pandas_path.get(vid)} "
+                f"with clear distance gap {gap}"
+            )
 
 
 def test_ivf_pandas_assignment_null_propagates(spark):
