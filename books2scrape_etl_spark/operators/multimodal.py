@@ -5,11 +5,15 @@ A training-data pipeline needs the real thing: opaque ``binary`` payload
 columns with typed metadata, plus decode / feature-extract / resize /
 frame-sample stages as Arrow-batched ``mapInPandas`` operators.
 
-The image/audio codec libraries are NOT in this container, so the codec
-kernels are stubbed (clearly marked), but everything Spark-side is real
-and tested: schemas, batch iteration shape, UDF signatures,
-partitioning. Swapping a stub for ``PIL.Image.open`` is a one-function
-change that alters no plan shape.
+The compressed-codec libraries (libjpeg/libpng/ffmpeg) are NOT in this
+container, so the engine carries a REAL pure-Python codec for the
+uncompressed formats (PPM P6 decode+encode, BMP 24/32-bit decode) —
+header parsing, pixel access, and nearest-neighbor resampling are
+genuine and value-verified against a DuckDB oracle that re-derives
+dimensions, byte lengths and pixel checksums independently. Only the
+video frame decoder remains a byte-slicing stub (clearly marked): no
+pure-Python video codec is feasible. Swapping in ``PIL.Image.open`` for
+compressed formats is a one-function change that alters no plan shape.
 
 Scale notes: binary payloads make rows wide — the operators keep
 metadata-only projections separate from payload-carrying ones so
@@ -20,7 +24,6 @@ column chunk (automatic) and read only by stages that decode.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,6 +44,8 @@ MEDIA_SCHEMA = T.StructType(
 IMAGE_META_SCHEMA = (
     "media_id long, n_bytes long, width int, height int, channels int, format string"
 )
+
+IMAGE_META_PIX_SCHEMA = IMAGE_META_SCHEMA + ", pix_sum long"
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
 
@@ -63,58 +68,188 @@ def read_binary_dir(spark, path: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path)
 
 
-def _stub_decode_image(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB — deterministic fake decode. Real impl: PIL/libvips (not in
-    this container). Derives plausible dimensions from a payload hash so
-    downstream logic is testable and reproducible."""
-    h = hashlib.md5(payload or b"").digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    return width, height, 3, "png"
+# ---------------------------------------------------------------------------
+# Pure-Python image codec: PPM (P6) encode/decode + BMP (24/32-bit) decode.
+# Uncompressed formats need no external library; the parsing, pixel math
+# and resampling below are real codecs, not stubs.
+# ---------------------------------------------------------------------------
 
 
-def decode_image_meta(media: DataFrame) -> DataFrame:
-    """Decode stage: payload -> (width, height, channels, format).
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255). ``pixels`` is packed RGB row-major;
+    length must be exactly ``3*width*height``."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != 3*{width}*{height}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
 
-    Arrow-batched ``mapInPandas``; each batch decodes vectorized-ish in
-    one Python crossing. Column pruning keeps ``payload`` out of every
-    stage that doesn't call this."""
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header (whitespace- and #-comment-tolerant, per the
+    netpbm spec). Returns (width, height, pixel_data_offset)."""
+    pos, tokens = 2, []  # skip the 'P6' magic
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return width, height, pos + 1  # exactly one whitespace after maxval
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes | None]:
+    """Decode an uncompressed image payload.
+
+    Returns ``(format, width, height, channels, pixels)`` where
+    ``pixels`` is the packed pixel buffer (padding stripped) — PPM and
+    BMP supported. Raises ValueError on anything else (compressed
+    formats need a library this container doesn't have)."""
+    if payload[:2] == b"P6":
+        width, height, off = _ppm_header(payload)
+        pixels = payload[off : off + 3 * width * height]
+        if len(pixels) != 3 * width * height:
+            raise ValueError("truncated PPM pixel data")
+        return "ppm", width, height, 3, pixels
+    if payload[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP bpp {bpp}")
+        channels = bpp // 8
+        height = abs(height)
+        row_bytes = width * channels
+        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        rows = [
+            payload[data_off + r * stride : data_off + r * stride + row_bytes]
+            for r in range(height)
+        ]
+        return "bmp", width, height, channels, b"".join(rows)
+    raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+def synth_ppm_payload(media_id: int) -> bytes:
+    """Deterministic synthetic PPM: dimensions and every pixel byte are
+    closed-form functions of ``media_id``, so a SQL oracle re-derives
+    the whole image independently (width = 8 + id%9, height = 8 + id%7,
+    byte[i] = (id*31 + 7*i) % 256)."""
+    width = 8 + media_id % 9
+    height = 8 + media_id % 7
+    n = 3 * width * height
+    base = media_id * 31
+    pixels = bytes((base + 7 * i) % 256 for i in range(n))
+    return encode_ppm(width, height, pixels)
+
+
+def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
+    """Synthetic image corpus over the documents table: one real PPM
+    payload per doc (see :func:`synth_ppm_payload`). The payloads are
+    genuine images through the production decode path — and every byte
+    is SQL-re-derivable, so decode output is oracle-checkable."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = pdf["payload"].map(_stub_decode_image)
+            payload = pdf["doc_id"].map(lambda i: synth_ppm_payload(int(i)))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["n_bytes"],
-                    "width": meta.map(lambda m: m[0]),
-                    "height": meta.map(lambda m: m[1]),
-                    "channels": meta.map(lambda m: m[2]),
-                    "format": meta.map(lambda m: m[3]),
+                    "media_id": pdf["doc_id"],
+                    "uri": "mem://ppm/" + pdf["doc_id"].astype(str),
+                    "media_type": "image",
+                    "payload": payload,
+                    "n_bytes": payload.map(len),
                 }
             )
 
-    return media.mapInPandas(batches, IMAGE_META_SCHEMA)
+    return docs.select("doc_id").mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage. STUB kernel: returns a deterministic truncated
-    payload standing in for re-encoded bytes; real impl swaps the lambda
-    for an actual resampler. Plan shape (projection + mapInPandas) is
-    the real one."""
+def decode_image_meta(media: DataFrame, with_pixels: bool = False) -> DataFrame:
+    """Decode stage: payload -> (width, height, channels, format[,
+    pix_sum]) via the REAL PPM/BMP codec. Undecodable payloads yield
+    null metadata (a 100 TB corpus always carries corrupt files — they
+    must tag, not kill, the job). ``with_pixels=True`` adds the pixel
+    byte sum — the integrity signal the oracle re-derives.
+
+    Arrow-batched ``mapInPandas``; column pruning keeps ``payload`` out
+    of every stage that doesn't call this."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            fake = pdf["payload"].map(
-                lambda b: (b or b"")[: max(16, width * height // 1024)]
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["n_bytes"],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "format": [],
+            }
+            if with_pixels:
+                out["pix_sum"] = []
+            for b in pdf["payload"]:
+                try:
+                    fmt, w, h, c, pix = decode_image(bytes(b or b""))
+                except ValueError:
+                    fmt = w = h = c = pix = None
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["format"].append(fmt)
+                if with_pixels:
+                    out["pix_sum"].append(
+                        int(np.frombuffer(pix, dtype=np.uint8).sum()) if pix else None
+                    )
+            yield pd.DataFrame(out)
+
+    schema = IMAGE_META_PIX_SCHEMA if with_pixels else IMAGE_META_SCHEMA
+    return media.mapInPandas(batches, schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage — REAL nearest-neighbor resample through the codec:
+    decode (PPM/BMP) -> index-map the pixel grid (numpy, no Python
+    per-pixel loop) -> re-encode as PPM. Undecodable payloads pass
+    through as null payloads (tag-don't-kill). The plan shape is one
+    projection + one Arrow-batched mapInPandas."""
+    import numpy as np
+
+    tgt_w, tgt_h = width, height
+
+    def resize_one(b: bytes) -> bytes | None:
+        try:
+            fmt, w, h, c, pix = decode_image(bytes(b or b""))
+        except ValueError:
+            return None
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+        if c == 4:  # drop alpha for the PPM re-encode
+            arr = arr[:, :, :3]
+        elif fmt == "bmp":  # BMP stores BGR bottom-up; normalize to RGB top-down
+            arr = arr[::-1, :, ::-1]
+        ys = (np.arange(tgt_h) * h) // tgt_h
+        xs = (np.arange(tgt_w) * w) // tgt_w
+        return encode_ppm(tgt_w, tgt_h, arr[np.ix_(ys, xs)].tobytes())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(resize_one)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "uri": pdf["uri"],
                     "media_type": pdf["media_type"],
-                    "payload": fake,
-                    "n_bytes": fake.map(len),
+                    "payload": resized,
+                    "n_bytes": resized.map(lambda b: len(b) if b is not None else None),
                 }
             )
 

@@ -81,12 +81,14 @@ WINDOW: tuple[str, ...] = (
     "scd2_upsert", "stream_join", "sketch_kmv",
     "udaf_grouped", "grouped_map",
     "surrogate_key_scale", "join_salted", "explode_split",
-    # TPC-H Q1/Q4/Q6 packed into one slot (r5; singles just past window)
-    "tpch_suite",
+    # TPC-H Q1/Q4/Q6 packed into one slot + ANN recall floors + the real
+    # image codec's pixel-level check (all r5)
+    "tpch_suite", "ann_recall", "multimodal_decode",
     # component suites (each packs 2-5 single-operator qnames)
-    # (columns_part_suite rotated out in r5 — 2 green rows r2+r4)
-    "columns_lineitem_suite", "distinct_suite",
-    "semi_anti_suite", "set_ops_suite", "window_suite", "topk_ordered",
+    # (columns_part_suite + distinct_suite + set_ops_suite rotated out
+    # in r5 — each has 2 green rows r2+r4)
+    "columns_lineitem_suite",
+    "semi_anti_suite", "window_suite", "topk_ordered",
     "json_map_ops",
     # consolidated component suites for sources / cleaning / streaming
     "sources_suite", "clean_suite", "stream_windows_suite",

@@ -1165,16 +1165,75 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "uri", "media_type", "n_bytes")
 
 
-@register("multimodal_decode")  # rows-only: stubbed codec (PIL not in container)
+@register(
+    "multimodal_decode",
+    # the oracle re-derives the ENTIRE image independently: synthetic
+    # PPMs are closed-form in doc_id (dims, header length, every pixel
+    # byte), so header parsing AND pixel access are value-checked
+    """
+    WITH m AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           'ppm' AS format,
+           (SELECT CAST(SUM(CASE WHEN i < 3 * w * h
+                                 THEN (doc_id * 31 + 7 * i) % 256 END) AS BIGINT)
+            FROM range(672) t(i)) AS pix_sum
+    FROM m
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5b — decode stage through Arrow-batched mapInPandas (stub codec;
-    real Spark plumbing: schema, batching, pruned payload)."""
-    media = multimodal.documents_as_media(read_table(spark, "documents", sf_dir))
-    return multimodal.decode_image_meta(media)
+    """L5b — REAL decode stage (r5, clears the stub-codec weak flag):
+    one genuine PPM payload per document (deterministic synthetic
+    pixels), decoded by the pure-Python codec through Arrow-batched
+    mapInPandas. Output is (dims, channels, format, pixel byte sum);
+    the oracle recomputes all of it from the generation rule alone, so
+    a header-parse or pixel-indexing bug anywhere in the codec breaks
+    the hash."""
+    media = multimodal.documents_as_ppm_media(read_table(spark, "documents", sf_dir))
+    return multimodal.decode_image_meta(media, with_pixels=True)
 
 
-@register("multimodal_frames")  # rows-only: stubbed codec
+@register(
+    "multimodal_resize",
+    # oracle replays the nearest-neighbor index math in SQL: resized
+    # pixel (y, x, c) reads source byte 3*((y*h DIV 8)*w + (x*w DIV 8))+c
+    """
+    WITH m AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(203 AS BIGINT) AS n_bytes,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           'ppm' AS format,
+           (SELECT CAST(SUM((doc_id * 31
+                + 7 * (3 * (((y.i * h) // 8) * w + ((x.i * w) // 8)) + c.i))
+                % 256) AS BIGINT)
+            FROM range(8) y(i), range(8) x(i), range(3) c(i)) AS pix_sum
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c — REAL resize stage (r5): synthetic PPMs resampled to 8x8 by
+    the nearest-neighbor kernel, then decoded AGAIN through the codec.
+    The oracle replays the resample's index arithmetic symbolically, so
+    a wrong stride, a flipped axis, or an off-by-one in the index map
+    changes pix_sum and breaks the hash. n_bytes pins the re-encoded
+    header too (P6, '8 8', 255 -> 11 header + 192 pixel bytes)."""
+    media = multimodal.documents_as_ppm_media(read_table(spark, "documents", sf_dir))
+    resized = multimodal.resize_images(media, 8, 8)
+    return multimodal.decode_image_meta(resized, with_pixels=True)
+
+
+@register("multimodal_frames")  # rows-only: byte-slicing stub (no pure-Python video codec)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5c — 1->N frame-sampling fan-out via mapInPandas."""
+    """L5d — 1->N frame-sampling fan-out via mapInPandas."""
     media = multimodal.documents_as_media(read_table(spark, "documents", sf_dir))
     return multimodal.sample_frames(media).select("media_id", "frame_idx")

@@ -503,6 +503,24 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.union(des)
 
 
+# hoisted so stream_windows_suite's composed oracle (registered above
+# stream_join in this file) and the stream_join register share ONE
+# definition — the suite 'join' section and the single can never drift
+_STREAM_JOIN_SQL = """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS c_e
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT user_id, event_id AS buy_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS b_e
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, buy_id, b_e - c_e AS lag_s
+    FROM c JOIN b USING (user_id)
+    WHERE b_e >= c_e AND b_e <= c_e + 1800
+    """
+
+
 @register(
     "stream_windows_suite",
     f"""
@@ -524,12 +542,21 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT),
            CAST(MAX(value) AS DOUBLE)
     FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'join', CAST(user_id AS BIGINT), CAST(click_id AS BIGINT),
+           CAST(buy_id AS VARCHAR), CAST(lag_s AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({_STREAM_JOIN_SQL})
+    UNION ALL
+    SELECT 'star', CAST(3 AS BIGINT), CAST(9 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(2364.04 AS DOUBLE)
     """,
 )
 def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1-T6 in one window slot, union-normalized to (kind, k1, k2, s,
+    """T1-T7 in one window slot, union-normalized to (kind, k1, k2, s,
     n, v). Two batch-equivalent sections (T2 tumbling, T3 session) plus
-    two REAL drained streams, so the streaming machinery itself — not
+    FOUR REAL drained streams, so the streaming machinery itself — not
     just its window expressions — is value-verified:
 
     - 'dedup' (T1+T4+T5): dropDuplicatesWithinWatermark over a stream
@@ -539,6 +566,16 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'stateful' (T1+T6): applyInPandasWithState running max + count
       per user, drained with availableNow; with one landing file the
       final state per key is exactly MAX(value) / COUNT(*) per user.
+    - 'join' (T7, r5): the watermarked stream-stream interval join
+      drained to completion; every (click, purchase) attribution pair
+      must equal the batch interval join the oracle replays — state
+      eviction or watermark bugs change the pair set and break the hash.
+    - 'star' (T1 over the reference DAG, r5): the foreachBatch books
+      star build (streaming/pipeline.py) drained from fixture landing
+      files; the landed fact must hold each book EXACTLY once across
+      batches (idempotent batch_id-partitioned writes) — golden-pinned
+      (3 fact rows, ratings sum 9, inventory value 2364.04, same
+      constants as books_e2e).
     """
     from books2scrape_etl_spark.streaming.windows import (
         stateful_running_max,
@@ -577,7 +614,47 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_seen").cast("long").alias("n"),
         F.col("max_value").cast("double").alias("v"),
     )
-    return t.union(s).union(d).union(st)
+    j = QUERIES["stream_join_rt"](spark, sf_dir).select(
+        F.lit("join").alias("kind"),
+        F.col("user_id").cast("long").alias("k1"),
+        F.col("click_id").cast("long").alias("k2"),
+        F.col("buy_id").cast("string").alias("s"),
+        F.col("lag_s").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    star = _streamed_books_star_summary(spark).select(
+        F.lit("star").alias("kind"),
+        F.col("n_rows").cast("long").alias("k1"),
+        F.col("rating_sum").cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("inv_value").cast("double").alias("v"),
+    )
+    return t.union(s).union(d).union(st).union(j).union(star)
+
+
+def _streamed_books_star_summary(spark: SparkSession) -> DataFrame:
+    """Drain the foreachBatch books-star stream from fixture landing
+    files and reduce the landed fact to (n_rows, rating_sum,
+    inv_value). Exactly-once landing is the property under test: a
+    duplicated or dropped batch changes n_rows/sums away from the
+    golden fixture constants."""
+    import os
+    import tempfile
+    import uuid
+
+    from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
+    from books2scrape_etl_spark.sources.scrape import html_source, parse_books
+    from books2scrape_etl_spark.streaming.pipeline import streaming_books_star
+
+    landing = os.path.join(tempfile.gettempdir(), f"books_landing_{uuid.uuid4().hex[:8]}")
+    parse_books(html_source(spark, DETAIL_PAGES)).repartition(2).write.parquet(landing)
+    fact = streaming_books_star(spark, landing)
+    return fact.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("Rating").cast("long").alias("rating_sum"),
+        F.round(F.sum(F.col("`Inventory Value`")), 2).alias("inv_value"),
+    )
 
 
 @register(
@@ -619,22 +696,7 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(li, "l_orderkey", ["l_returnflag"], k=256)
 
 
-@register(
-    "stream_join",
-    """
-    WITH c AS (
-      SELECT user_id, event_id AS click_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS c_e
-      FROM events WHERE event_type = 'click'),
-    b AS (
-      SELECT user_id, event_id AS buy_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS b_e
-      FROM events WHERE event_type = 'purchase')
-    SELECT c.user_id, click_id, buy_id, b_e - c_e AS lag_s
-    FROM c JOIN b USING (user_id)
-    WHERE b_e >= c_e AND b_e <= c_e + 1800
-    """,
-)
+@register("stream_join", _STREAM_JOIN_SQL)
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 batch-equivalent — click→purchase attribution join within 30
     minutes per user (streaming/windows.py:click_purchase_join_batch).

@@ -65,13 +65,16 @@ def streaming_books_star(
             .parquet(fact_dir)
         )
 
-    q = (
-        raw.writeStream.foreachBatch(land)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from books2scrape_etl_spark.streaming.windows import _few_state_partitions
+
+    with _few_state_partitions(spark):
+        q = (
+            raw.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(fact_dir)
 
 

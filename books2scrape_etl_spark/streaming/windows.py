@@ -137,22 +137,49 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     return raw
 
 
+class _few_state_partitions:
+    """Temporarily cap ``spark.sql.shuffle.partitions`` while a drain
+    runs. Streaming state partition count is fixed per checkpoint at
+    first run; a vanilla session's default 200 means 200 state-store
+    instances PER stateful operator PER micro-batch — ~10x the wall
+    clock of the drain on toy data. Save/restore is safe here (unlike
+    the UTC pin) because the drain executes EAGERLY inside the guard;
+    nothing lazy escapes with the temporary value. On a real cluster
+    callers drive partitioning via their own conf — this guard only
+    covers the self-contained drain helpers."""
+
+    def __init__(self, spark: SparkSession, n: int = 8) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
     sink and return the result table — T1's drain-and-stop trigger, the
     streaming analogue of the reference's scheduled full recompute."""
     name = f"s_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with _few_state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def streaming_tumbling(spark: SparkSession, sf_dir: str, minutes: int = 10) -> DataFrame:

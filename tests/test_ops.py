@@ -189,14 +189,67 @@ def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(1, "hello"), (2, "a" * 100)], "doc_id long, text string")
     media = multimodal.documents_as_media(docs)
     assert media.schema["payload"].dataType.typeName() == "binary"
+    # text bytes are NOT an image: the real codec must tag them null,
+    # not crash the batch
     meta = {r.media_id: r for r in multimodal.decode_image_meta(media).collect()}
     assert meta[1].n_bytes == 5
-    assert 64 <= meta[1].width < 256 and 64 <= meta[1].height < 256
+    assert meta[1].width is None and meta[1].format is None
     frames = multimodal.sample_frames(media, every_n=10, max_frames=4).collect()
     by_id = {}
     for r in frames:
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     assert by_id[2] == [0, 1, 2, 3]  # 1 -> N fan-out
+
+
+def test_ppm_codec_roundtrip():
+    payload = multimodal.synth_ppm_payload(123)
+    fmt, w, h, c, pix = multimodal.decode_image(payload)
+    assert (fmt, w, h, c) == ("ppm", 8 + 123 % 9, 8 + 123 % 7, 3)
+    assert len(pix) == 3 * w * h
+    assert pix[0] == (123 * 31) % 256 and pix[5] == (123 * 31 + 35) % 256
+    # comment- and whitespace-tolerant header parse (netpbm spec)
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert multimodal.decode_image(commented)[:4] == ("ppm", 2, 1, 3)
+
+
+def test_bmp_decode_golden():
+    import struct
+
+    # hand-built 2x2 24-bit BMP: bottom-up rows, 4-byte row padding
+    # (2 px * 3 B = 6 B -> stride 8). Pixel layout is BGR.
+    rows_bottom_up = [
+        bytes([255, 0, 0]) + bytes([0, 255, 0]) + b"\x00\x00",  # y=1: blue, green
+        bytes([0, 0, 255]) + bytes([255, 255, 255]) + b"\x00\x00",  # y=0: red, white
+    ]
+    pixel_data = b"".join(rows_bottom_up)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    fmt, w, h, c, pix = multimodal.decode_image(header + dib + pixel_data)
+    assert (fmt, w, h, c) == ("bmp", 2, 2, 3)
+    assert len(pix) == 12  # padding stripped
+
+
+def test_resize_nearest_neighbor_reference(spark):
+    """resize_images through Spark must equal an independent numpy
+    nearest-neighbor resample of the same source image, byte for byte."""
+    import numpy as np
+
+    src = multimodal.synth_ppm_payload(7)
+    _, w, h, _, pix = multimodal.decode_image(src)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+    tw = th = 4
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    expect = arr[np.ix_(ys, xs)].tobytes()
+
+    media = spark.createDataFrame(
+        [(7, "mem://x", "image", bytearray(src), len(src))],
+        "media_id long, uri string, media_type string, payload binary, n_bytes long",
+    )
+    (row,) = multimodal.resize_images(media, tw, th).collect()
+    fmt, rw, rh, rc, rpix = multimodal.decode_image(bytes(row.payload))
+    assert (fmt, rw, rh, rc) == ("ppm", tw, th, 3)
+    assert rpix == expect
 
 
 # --- streaming batch equivalents -------------------------------------------
