@@ -129,13 +129,22 @@ def _extract_links(html: str) -> list[str]:
 
 
 def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """S3 — 1->N fan-out: array-returning UDF + explode (the relational
-    form of the reference's per-article loop)."""
-    link_udf = F.udf(_extract_links, T.ArrayType(T.StringType()), useArrow=True)
-    return pages.select(
-        F.col("url").alias("listing_url"),
-        F.explode(link_udf(F.col(html_col))).alias("url"),
-    )
+    """S3 — 1->N fan-out as an iterator ``mapInPandas`` (SURVEY §7.2-7):
+    one Python crossing per Arrow batch instead of one scalar-UDF call
+    per row, with the fan-out (the reference's per-article loop,
+    extract_pipeline.py:57-73) emitted directly as extra output rows —
+    mapInPandas output cardinality is free, so no explode round trip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            listing, urls = [], []
+            for lu, html in zip(pdf["url"], pdf[html_col]):
+                for link in _extract_links(html):
+                    listing.append(lu)
+                    urls.append(link)
+            yield pd.DataFrame({"listing_url": listing, "url": urls})
+
+    return pages.mapInPandas(batches, "listing_url string, url string")
 
 
 def _first(pattern: str, html: str, flags: int = re.S) -> str | None:
@@ -189,13 +198,18 @@ def _parse_book(html: str) -> dict | None:
 
 
 def parse_books(detail_pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """S2 — HTML -> typed struct -> star-expanded columns."""
-    parse_udf = F.udf(_parse_book, BOOK_STRUCT, useArrow=True)
-    return (
-        detail_pages.select(parse_udf(F.col(html_col)).alias("book"))
-        .where(F.col("book").isNotNull())
-        .select("book.*")
-    )
+    """S2 — HTML -> typed book columns, batched: iterator ``mapInPandas``
+    crosses into Python once per Arrow batch (SURVEY §7.2-7; the former
+    per-row scalar UDF paid serialization per page), and unparseable
+    pages drop inside the batch (no separate null-filter stage)."""
+    cols = [f.name for f in BOOK_STRUCT.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = [r for r in (_parse_book(h) for h in pdf[html_col]) if r is not None]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return detail_pages.mapInPandas(batches, BOOK_STRUCT)
 
 
 def scrape_books(spark: SparkSession, n_pages: int, throttle_s: float = 0.5) -> DataFrame:
