@@ -386,7 +386,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) = 1996
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l.l_linestatus
     """,
 )
@@ -394,14 +395,15 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority classes), adapted to the
     testdata's columns (l_linestatus stands in for shipmode): one year
     of shipments, lines counted into high/low priority classes via
-    conditional aggregation. Year extraction is UTC-pinned on both
-    engines; counts are BIGINT-cast in the oracle (DuckDB SUM->HUGEINT
-    rule)."""
+    conditional aggregation. The year bound is a sargable half-open
+    timestamp range (pushed to the scan on both engines); counts are
+    BIGINT-cast in the oracle (DuckDB SUM->HUGEINT rule)."""
     from books2scrape_etl_spark.query_defs import _utc
+    from books2scrape_etl_spark.query_defs6 import _ts_year_range
 
     _utc(spark)
     o = read_table(spark, "orders", sf_dir)
-    li = read_table(spark, "lineitem", sf_dir).where(F.year("l_shipdate") == 1996)
+    li = read_table(spark, "lineitem", sf_dir).where(_ts_year_range("l_shipdate", 1996))
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -454,7 +456,8 @@ def q_stratified_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                               AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) = 1997
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     """,
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,9 +468,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums hash-verify without any float-rounding hazard."""
     from books2scrape_etl_spark.functions.agg import sum_exact
     from books2scrape_etl_spark.query_defs import _utc
+    from books2scrape_etl_spark.query_defs6 import _ts_year_range
 
     _utc(spark)
-    li = read_table(spark, "lineitem", sf_dir).where(F.year("l_shipdate") == 1997)
+    li = read_table(spark, "lineitem", sf_dir).where(_ts_year_range("l_shipdate", 1997))
     p = read_table(spark, "part", sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))

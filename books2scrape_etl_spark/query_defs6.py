@@ -28,6 +28,18 @@ from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES, register
 from books2scrape_etl_spark.query_defs import _utc
 
 
+def _ts_year_range(col: str, year: int):
+    """``year(col) == year`` as a sargable half-open timestamp range.
+
+    ``F.year(col)`` wraps the column in a function, so the parquet
+    reader can't use it; plain >=/< comparisons reach the scan as
+    PushedFilters and prune row groups by column statistics — the
+    difference between scanning one year and scanning 100 TB."""
+    lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp")
+    hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp")
+    return (F.col(col) >= lo) & (F.col(col) < hi)
+
+
 @register(
     "tpch_q1",
     f"""
@@ -87,7 +99,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders o
-    WHERE CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) = 1996
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
     GROUP BY o_orderpriority
@@ -104,7 +117,9 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantity threshold stands in for the late-delivery predicate —
     same plan shape.)"""
     _utc(spark)
-    o = read_table(spark, "orders", sf_dir).where(F.year("o_orderdate") == 1996)
+    o = read_table(spark, "orders", sf_dir).where(
+        _ts_year_range("o_orderdate", 1996)
+    )
     li = read_table(spark, "lineitem", sf_dir).where(F.col("l_quantity") > 45)
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
@@ -121,7 +136,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
-    WHERE CAST(strftime(l_shipdate, '%Y') AS INTEGER) = 1996
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -137,7 +153,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, "lineitem", sf_dir)
     return (
         li.where(
-            (F.year("l_shipdate") == 1996)
+            _ts_year_range("l_shipdate", 1996)
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
