@@ -81,15 +81,17 @@ WINDOW: tuple[str, ...] = (
     "scd2_upsert", "stream_join", "sketch_kmv",
     "udaf_grouped", "grouped_map",
     "surrogate_key_scale", "join_salted", "explode_split",
-    # TPC-H Q1/Q4/Q6 packed into one slot + ANN recall floors + the real
-    # image codec's pixel-level check (all r5)
+    # r5 additions: TPC-H Q1/Q4/Q6 in one slot, ANN recall floors, the
+    # real image codec's pixel-level check, planted-duplicate invariants
+    # for the approximate dedup family, and the S8 render goldens
     "tpch_suite", "ann_recall", "multimodal_decode",
+    "dedup_invariants", "report_render",
     # component suites (each packs 2-5 single-operator qnames)
-    # (columns_part_suite + distinct_suite + set_ops_suite rotated out
-    # in r5 — each has 2 green rows r2+r4)
+    # (columns_part_suite / distinct_suite / set_ops_suite /
+    # window_suite / json_map_ops rotated out in r5 — each has 2 green
+    # rows r2+r4; rotate back in r6)
     "columns_lineitem_suite",
-    "semi_anti_suite", "window_suite", "topk_ordered",
-    "json_map_ops",
+    "semi_anti_suite", "topk_ordered",
     # consolidated component suites for sources / cleaning / streaming
     "sources_suite", "clean_suite", "stream_windows_suite",
     "join_fact", "join_sortmerge", "array_ops",

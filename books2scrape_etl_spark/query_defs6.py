@@ -336,3 +336,182 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mh") >= F.col("sh")).alias("ok"),
     )
     return p3.union(p6).union(mono).orderBy("method")
+
+
+# =====================================================================
+# dedup_invariants — planted-duplicate invariants for the approximate
+# dedup family (L2 minhash, L2b simhash, L2d embedding, CC grouping).
+# These operators are approximate/engine-specific (xxhash64 signatures
+# have no DuckDB twin), so their driver signal was rows-only; the
+# ann_recall pattern upgrades them: plant duplicates whose outcome is
+# PROVABLE, compute the checks in-plan, and hash booleans/counts
+# against a constant oracle.
+# =====================================================================
+
+
+_DEDUP_OFFSET = 10_000_000  # planted ids sit above every organic id
+
+
+def _sym_diff_count(a: DataFrame, b: DataFrame) -> DataFrame:
+    """1-row (n) frame: |a Δ b| under multiset semantics."""
+    d = a.exceptAll(b).union(b.exceptAll(a))
+    return d.agg(F.count(F.lit(1)).alias("n"))
+
+
+def _zero_row(section: str, n_df: DataFrame) -> DataFrame:
+    return n_df.select(
+        F.lit(section).alias("section"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") == 0).alias("ok"),
+    )
+
+
+@register(
+    "dedup_invariants",
+    """
+    SELECT 'cc_chain' AS section, CAST(2 AS BIGINT) AS n, TRUE AS ok
+    UNION ALL SELECT 'embedding_planted', CAST(0 AS BIGINT), TRUE
+    UNION ALL SELECT 'minhash_planted', CAST(0 AS BIGINT), TRUE
+    UNION ALL SELECT 'simhash_planted', CAST(0 AS BIGINT), TRUE
+    ORDER BY section
+    """,
+)
+def q_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provable planted-duplicate outcomes for the approximate dedup
+    operators, as one constant-oracle driver row:
+
+    - 'minhash_planted': exact text copies (planted at doc_id+1e7, so
+      every copy's id exceeds every organic id) have Jaccard 1.0 with
+      their original and can never out-survive it — therefore
+      survivors(docs + copies) must equal survivors(docs) EXACTLY
+      (multiset symmetric difference = 0). Catches banding, Jaccard
+      verification, and survivor-rule regressions in one check.
+    - 'embedding_planted': same argument for identical embedding
+      vectors through the LSH-bucketed cosine near-dup path.
+    - 'simhash_planted': identical text -> identical 60-bit signature
+      -> identical band buckets; the copy's (band, band_val) set must
+      equal its original's (and a copy bands iff its original bands,
+      which also covers the empty-shingle exclusion symmetrically).
+    - 'cc_chain': ground-truth graph (a 4-node path + a disjoint pair)
+      -> exactly 2 components (transitive A~B~C~D grouping), and the
+      O(diameter) propagation and the O(log) large-star/small-star
+      implementations must agree label for label.
+    """
+    from books2scrape_etl_spark.operators import dedupe, similarity
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # copies come from a FRESH scan: self-union of one plan trips a
+    # Catalyst constraint-rewrite bug (NoSuchElementException in
+    # Union.rewriteConstraints) once the dedup graph references both
+    # branches; two scans of the same file are semantically identical
+    copies = (
+        read_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _DEDUP_OFFSET).alias("doc_id"), "text")
+    )
+    both = docs.unionByName(copies)
+    mh = _zero_row(
+        "minhash_planted",
+        _sym_diff_count(
+            dedupe.minhash_dedup(docs, threshold=0.6).select("doc_id"),
+            dedupe.minhash_dedup(both, threshold=0.6).select("doc_id"),
+        ),
+    )
+
+    emb = read_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ecopies = (
+        read_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") % 10 == 0)
+        .select((F.col("vec_id") + _DEDUP_OFFSET).alias("vec_id"), "embedding")
+    )
+    eb = _zero_row(
+        "embedding_planted",
+        _sym_diff_count(
+            similarity.embedding_near_dup(emb).select("vec_id"),
+            similarity.embedding_near_dup(emb.unionByName(ecopies)).select("vec_id"),
+        ),
+    )
+
+    bands = dedupe.simhash_bands(both)
+    copy_bands = bands.where(F.col("doc_id") >= _DEDUP_OFFSET).select(
+        (F.col("doc_id") - _DEDUP_OFFSET).alias("doc_id"), "band", "band_val"
+    )
+    orig_bands = bands.where(
+        (F.col("doc_id") < _DEDUP_OFFSET) & (F.col("doc_id") % 10 == 0)
+    ).select("doc_id", "band", "band_val")
+    sh = _zero_row("simhash_planted", _sym_diff_count(copy_bands, orig_bands))
+
+    chain = spark.range(0, 3).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    pair = spark.createDataFrame([(100, 101)], "id_a long, id_b long")
+    # materialize the 6-row edge list: feeding a union-shaped plan into
+    # the star algorithm's internal self-union trips the same Catalyst
+    # Union.rewriteConstraints bug as above; a checkpointed scan doesn't
+    edges = chain.unionByName(pair).localCheckpoint(eager=True)
+    prop = dedupe.connected_components(edges)
+    star = dedupe.connected_components_star(edges)
+    agree = _sym_diff_count(prop, star).withColumn("j", F.lit(1))
+    ncomp = prop.agg(F.countDistinct("component").alias("nc")).withColumn(
+        "j", F.lit(1)
+    )
+    cc = agree.join(ncomp, "j").select(
+        F.lit("cc_chain").alias("section"),
+        F.col("nc").cast("long").alias("n"),
+        ((F.col("n") == 0) & (F.col("nc") == 2)).alias("ok"),
+    )
+    return cc.union(eb).union(mh).union(sh).orderBy("section")
+
+
+# =====================================================================
+# report_render — S8's render path value-verified (the SMTP send itself
+# stays env-gated; what CAN be deterministic — the five display values
+# and the exact rendered HTML — is golden-pinned)
+# =====================================================================
+
+
+@register(
+    "report_render",
+    """
+    SELECT 'avg_rating' AS k, '3.00' AS v
+    UNION ALL SELECT 'books_in_stock', '3'
+    UNION ALL SELECT 'html_md5', '66e88853703e610020e550d6cd35ca7f'
+    UNION ALL SELECT 'total_books', '3'
+    UNION ALL SELECT 'total_categories', '3'
+    UNION ALL SELECT 'total_inventory_value', '$2364.04'
+    ORDER BY k
+    """,
+)
+def q_report_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 render path over the fixture pipeline: parse -> clean -> star
+    -> summary -> reference display formatting (airflow.py:104-105
+    parity: '$%.2f' inventory, '%.2f' rating) -> HTML render with a
+    pinned empty timestamp. Emits each display value plus the md5 of
+    the full rendered HTML, golden-pinned — a drift anywhere from the
+    parser to the templated table breaks the hash. The terminal collect
+    is the operator's contract (render is a driver-side action on ONE
+    summary row); the SMTP handoff stays a unit-tested no-op without
+    credentials."""
+    import hashlib
+
+    from books2scrape_etl_spark.plans.books import transform_books
+    from books2scrape_etl_spark.plans.report import (
+        format_summary,
+        render_html_report,
+        summary_aggregates,
+    )
+    from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
+    from books2scrape_etl_spark.sources.scrape import html_source, parse_books
+
+    raw = parse_books(html_source(spark, DETAIL_PAGES))
+    cleaned, _dims, _fact = transform_books(raw)
+    summary = summary_aggregates(cleaned).collect()[0].asDict()
+    disp = format_summary(summary)
+    html = render_html_report(disp, generated_at="")
+    rows = sorted(
+        [(k, str(v)) for k, v in disp.items()]
+        + [("html_md5", hashlib.md5(html.encode()).hexdigest())]
+    )
+    return spark.createDataFrame(rows, "k string, v string")
