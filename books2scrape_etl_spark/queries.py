@@ -86,12 +86,13 @@ WINDOW: tuple[str, ...] = (
     # real image codec's pixel-level check, planted-duplicate invariants
     # for the approximate dedup family, and the S8 render goldens
     "tpch_suite", "tpch_suite2", "ann_recall", "multimodal_decode",
-    "dedup_invariants", "report_render",
+    "dedup_invariants", "report_render", "approx_bounds",
     # component suites (each packs 2-5 single-operator qnames)
     # (columns_part_suite / distinct_suite / set_ops_suite /
-    # window_suite / json_map_ops / semi_anti_suite rotated out in r5 —
-    # each has 2 green rows r2+r4; rotate back in r6)
-    "columns_lineitem_suite", "topk_ordered",
+    # window_suite / json_map_ops / semi_anti_suite / topk_ordered
+    # rotated out in r5 — each has 2 green rows r2+r4; rotate back
+    # in r6)
+    "columns_lineitem_suite",
     # consolidated component suites for sources / cleaning / streaming
     "sources_suite", "clean_suite", "stream_windows_suite",
     "join_fact", "join_sortmerge", "array_ops",

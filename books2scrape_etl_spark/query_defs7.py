@@ -348,3 +348,80 @@ def _register_tpch_suite2() -> None:
 
 
 _register_tpch_suite2()
+
+
+# =====================================================================
+# approx_bounds — error-bound invariants for the approximate aggregates
+# (agg_approx / bin_quantile_scale were rows-only because HLL++ and
+# Greenwald-Khanna internals differ across engines; what IS portable is
+# the published error bound — pin it as a constant-oracle row)
+# =====================================================================
+
+
+@register(
+    "approx_bounds",
+    """
+    SELECT 'hll_orderkey' AS metric, TRUE AS ok
+    UNION ALL SELECT 'hll_partkey', TRUE
+    UNION ALL SELECT 'median_price', TRUE
+    UNION ALL SELECT 'q25_q75_quantity', TRUE
+    ORDER BY metric
+    """,
+)
+def q_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-error-bound invariants for the sketch aggregates,
+    computed in one plan against their exact twins:
+
+    - HLL++ distinct counts (default rsd 0.05) must land within 15%
+      (3 sigma) of the exact COUNT(DISTINCT) for two key columns.
+    - percentile_approx (Greenwald-Khanna, accuracy 10000 -> rank
+      error <= n/10000) must produce a median between the exact 45th
+      and 55th percentiles, and quartiles between their +/-5-point
+      rank neighbors.
+
+    A regression in sketch wiring (wrong column, wrong accuracy, a
+    broken merge) blows the bound and flips the boolean; the oracle is
+    constant TRUE."""
+    li = read_table(spark, "lineitem", sf_dir)
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_ord"),
+        F.countDistinct("l_orderkey").alias("e_ord"),
+        F.approx_count_distinct("l_partkey").alias("a_part"),
+        F.countDistinct("l_partkey").alias("e_part"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("a_med"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("e_med_lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("e_med_hi"),
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("a_q"),
+        F.expr("percentile(l_quantity, array(0.20, 0.30, 0.70, 0.80))").alias("e_q"),
+    )
+    within = lambda a, e: (a >= 0.85 * e) & (a <= 1.15 * e)  # noqa: E731
+    rows = [
+        agg.select(
+            F.lit("hll_orderkey").alias("metric"),
+            within(F.col("a_ord"), F.col("e_ord")).alias("ok"),
+        ),
+        agg.select(
+            F.lit("hll_partkey").alias("metric"),
+            within(F.col("a_part"), F.col("e_part")).alias("ok"),
+        ),
+        agg.select(
+            F.lit("median_price").alias("metric"),
+            (
+                (F.col("a_med") >= F.col("e_med_lo"))
+                & (F.col("a_med") <= F.col("e_med_hi"))
+            ).alias("ok"),
+        ),
+        agg.select(
+            F.lit("q25_q75_quantity").alias("metric"),
+            (
+                (F.element_at("a_q", 1) >= F.element_at("e_q", 1))
+                & (F.element_at("a_q", 1) <= F.element_at("e_q", 2))
+                & (F.element_at("a_q", 2) >= F.element_at("e_q", 3))
+                & (F.element_at("a_q", 2) <= F.element_at("e_q", 4))
+            ).alias("ok"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("metric")
