@@ -40,6 +40,7 @@ from books2scrape_etl_spark import query_defs4  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs5  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs6  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs7  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -85,8 +86,9 @@ WINDOW: tuple[str, ...] = (
     # r5 additions: TPC-H Q1/Q4/Q6 in one slot, ANN recall floors, the
     # real image codec's pixel-level check, planted-duplicate invariants
     # for the approximate dedup family, and the S8 render goldens
-    "tpch_suite", "tpch_suite2", "ann_recall", "multimodal_decode",
-    "dedup_invariants", "report_render", "approx_bounds",
+    "tpch_suite", "tpch_suite2", "tpch_suite3", "ann_recall",
+    "multimodal_decode", "dedup_invariants", "report_render",
+    "approx_bounds",
     # component suites (each packs 2-5 single-operator qnames)
     # (columns_part_suite / distinct_suite / set_ops_suite /
     # window_suite / json_map_ops / semi_anti_suite / topk_ordered
@@ -94,8 +96,9 @@ WINDOW: tuple[str, ...] = (
     # in r6)
     "columns_lineitem_suite",
     # consolidated component suites for sources / cleaning / streaming
+    # (array_ops rotated out in r5 — 3 green rows r1/r2/r4)
     "sources_suite", "clean_suite", "stream_windows_suite",
-    "join_fact", "join_sortmerge", "array_ops",
+    "join_fact", "join_sortmerge",
 )
 
 
