@@ -41,6 +41,7 @@ from books2scrape_etl_spark import query_defs5  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs6  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs7  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs8  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the

@@ -1,0 +1,349 @@
+"""Wave-9 qnames (round 5): frequency sketches, embedding quantization,
+corpus assembly, and event-funnel analytics.
+
+- ``sketch_cms`` / ``heavy_hitters`` — Count-Min sketch whose STATE is
+  driver-value-matched (portable md5 hash rule, same contract as the
+  KMV sketch), plus the heavy-hitter readout with the one-sided
+  never-undercount bound exposed as a column.
+- ``lm_quality`` — unigram-frequency document quality scoring (the
+  engine-portable integer twin of perplexity filtering).
+- ``token_budget`` — deterministic per-language token-budget corpus
+  selection (cumulative-cap window over the md5 permutation).
+- ``embed_quantize`` — int8-style scalar quantization with
+  reconstruction metrics, bit-replayed by the oracle.
+- ``funnel_steps`` / ``cohort_retention`` — classic event analytics
+  over the events table (staged conditional mins; weekly cohorts).
+
+All seven are oracle-paired; they sit just past the 50-entry driver
+window this round (the window carries the r5 rotation set) and rotate
+in for round 6 alongside the multi-round-green returners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.operators import freq, quantize
+from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.query_defs import _DOT_SQL, _NORM_SQL, _utc
+
+# Engine-portable 32-bit hash twin (operators/sketch.portable_hash32).
+def _h32(key_sql: str) -> str:
+    return f"CAST(('0x' || substr(md5({key_sql}), 1, 8)) AS BIGINT)"
+
+
+# Shared token-stream CTE body: one row per token occurrence, the same
+# normalize-lower-split rule as operators/freq.tokens_of.
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+t2 AS (SELECT doc_id, token FROM toks WHERE token <> '')
+"""
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+_CMS_CELLS = f"""
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+cells AS (
+  SELECT seeds.seed,
+         {_h32("CAST(seeds.seed AS VARCHAR) || ':' || t2.token")} % {_CMS_WIDTH} AS col
+  FROM t2 CROSS JOIN seeds
+),
+state AS (
+  SELECT seed, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY seed, col
+)
+"""
+
+_CMS_STATE_SQL = f"""
+WITH {_TOKS_CTE}, {_CMS_CELLS}
+SELECT CAST(seed AS INT) AS seed, CAST(col AS BIGINT) AS col, cnt
+FROM state
+"""
+
+
+@register("sketch_cms", _CMS_STATE_SQL)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch state over the document token stream — the
+    d x w counter grid itself is the result (mergeable by element-wise
+    sum; any md5-agreeing engine derives the identical grid)."""
+    docs = read_table(spark, "documents", sf_dir)
+    toks = freq.tokens_of(docs)
+    return freq.cms_state(toks, _CMS_DEPTH, _CMS_WIDTH).select(
+        F.col("seed").cast("int").alias("seed"), "col", "cnt"
+    )
+
+
+_HH_SHARE = 0.02
+
+_HEAVY_SQL = f"""
+WITH {_TOKS_CTE}, {_CMS_CELLS},
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM t2 GROUP BY token
+),
+tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) * {_HH_SHARE} AS thresh FROM counts),
+hot AS (
+  SELECT token, exact_cnt FROM counts, tot WHERE exact_cnt >= thresh
+),
+probe_cells AS (
+  SELECT hot.token, seeds.seed,
+         {_h32("CAST(seeds.seed AS VARCHAR) || ':' || hot.token")} % {_CMS_WIDTH} AS col
+  FROM hot CROSS JOIN seeds
+),
+est AS (
+  SELECT token, MIN(COALESCE(state.cnt, 0)) AS cms_est
+  FROM probe_cells LEFT JOIN state USING (seed, col)
+  GROUP BY token
+)
+SELECT hot.token, hot.exact_cnt, est.cms_est,
+       est.cms_est >= hot.exact_cnt AS bound_ok
+FROM hot JOIN est USING (token)
+"""
+
+
+@register("heavy_hitters", _HEAVY_SQL)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (exact count >= 2% of the stream) with their CMS
+    point estimates and the never-undercount guarantee as data."""
+    docs = read_table(spark, "documents", sf_dir)
+    return freq.heavy_hitters(
+        docs, min_share=_HH_SHARE, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+_LM_MIN_COUNT = 5
+
+_LM_QUALITY_SQL = f"""
+WITH {_TOKS_CTE},
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t2 GROUP BY token HAVING COUNT(*) >= {_LM_MIN_COUNT}
+),
+per AS (
+  SELECT t2.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(CASE WHEN vocab.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+         CAST(COALESCE(SUM(vocab.tf), 0) AS BIGINT) AS sum_tf
+  FROM t2 LEFT JOIN vocab USING (token)
+  GROUP BY t2.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_oov, 0) AS n_oov,
+       COALESCE(per.sum_tf, 0) AS sum_tf,
+       CAST(per.sum_tf AS DOUBLE) / CAST(per.n_tokens AS DOUBLE) AS avg_tf
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@register("lm_quality", _LM_QUALITY_SQL)
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency quality score per document (vocab cutoff 5,
+    OOV counts, avg term frequency)."""
+    docs = read_table(spark, "documents", sf_dir)
+    return freq.unigram_quality(docs, min_count=_LM_MIN_COUNT)
+
+
+_BUDGET = 2000
+
+_TOKEN_BUDGET_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         {_h32("CAST(doc_id AS VARCHAR)")} AS h,
+         CAST(len(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_tok
+  FROM staged
+)
+SELECT doc_id, lang, n_tok, cum_tok
+FROM w WHERE cum_tok - n_tok < {_BUDGET}
+"""
+
+
+@register("token_budget", _TOKEN_BUDGET_SQL)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection: fill each language's corpus
+    to 2000 tokens along the md5 permutation."""
+    docs = read_table(spark, "documents", sf_dir)
+    return freq.token_budget_select(docs, budget=_BUDGET)
+
+
+_EMBED_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE) AS rng
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, mn, rng,
+         CASE WHEN rng = 0 THEN [0 FOR x IN embedding]
+              ELSE [CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / rng + 0.5) AS INT)
+                    FOR x IN embedding]
+         END AS codes
+  FROM base
+),
+d AS (
+  SELECT vec_id, embedding, mn, rng, codes,
+         [mn + CAST(c AS DOUBLE) * rng / 255.0 FOR c IN codes] AS dq
+  FROM q
+)
+SELECT vec_id, round(mn, 6) AS qmin, round(rng, 6) AS qrange,
+       array_to_string(codes, ',') AS codes_str,
+       round(list_max([abs(CAST(embedding[i] AS DOUBLE) - dq[i]) FOR i IN range(1, 65)]), 6)
+         AS max_abs_err,
+       round({_DOT_SQL.format(a='embedding', b='dq')} /
+             (sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) *
+              sqrt({_DOT_SQL.format(a='dq', b='dq')})), 6) AS cos_orig
+FROM d
+"""
+
+
+@register("embed_quantize", _EMBED_QUANTIZE_SQL)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization of every embedding, with
+    reconstruction error and cosine fidelity value-matched."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    return quantize.quantize_scalar(emb)
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       strftime(v.t_view, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+       strftime(c.t_click, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+       strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+       CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@register("funnel_steps", _FUNNEL_SQL)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel per user: each stage is
+    the min event time strictly after the previous stage's time.
+
+    Plan shape: three conditional-min aggregations chained by user_id
+    equi-joins — every stage shuffles on the same key, so at scale AQE
+    coalesces them onto one partitioning; no window over the raw
+    stream, no per-user state bigger than three timestamps."""
+    _utc(spark)
+    ev = read_table(spark, "events", sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    ).cast("int")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t_view", fmt).alias("t_view"),
+            F.date_format("t_click", fmt).alias("t_click"),
+            F.date_format("t_purchase", fmt).alias("t_purchase"),
+            stage.alias("stage"),
+        )
+    )
+
+
+_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events),
+j AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset
+  FROM a JOIN f ON f.user_id = a.user_id
+),
+per AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM j GROUP BY cohort_week, week_offset
+),
+sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY cohort_week)
+SELECT strftime(per.cohort_week, '%Y-%m-%d') AS cohort_week,
+       per.week_offset, per.n_active, sz.cohort_size,
+       CAST(per.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+FROM per JOIN sz ON sz.cohort_week = per.cohort_week
+"""
+
+
+@register("cohort_retention", _COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen ISO week,
+    counted at each week offset they were active.
+
+    The distinct (user, week) table and the first-seen table both
+    collapse map-side before the one join on user_id; cohort sizes
+    broadcast. Week arithmetic stays in exact integer days."""
+    _utc(spark)
+    ev = read_table(spark, "events", sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    j = a.join(f, "user_id").select(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    )
+    per = j.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sz = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return per.join(F.broadcast(sz), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )

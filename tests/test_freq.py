@@ -1,0 +1,219 @@
+"""Frequency-operator tests: Count-Min sketch laws (never-undercount,
+element-wise-sum merge, exactness without collisions), unigram quality
+scoring, token-budget selection, scalar quantization bounds, and the
+funnel/cohort analytics on handcrafted events."""
+
+import datetime
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.operators import freq
+from books2scrape_etl_spark.operators.quantize import quantize_scalar
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _ref_cms(tokens, depth, width):
+    grid = {}
+    for t in tokens:
+        for s in range(depth):
+            cell = (s, _h32(f"{s}:{t}") % width)
+            grid[cell] = grid.get(cell, 0) + 1
+    return grid
+
+
+def test_cms_state_matches_local_reference(spark):
+    texts = ["a b c a", "b b d", "e f a"]
+    tokens = [t for x in texts for t in x.split()]
+    got = {
+        (r.seed, r.col): r.cnt
+        for r in freq.cms_state(freq.tokens_of(_docs(spark, texts)), 4, 16).collect()
+    }
+    assert got == _ref_cms(tokens, 4, 16)
+
+
+def test_cms_merge_is_elementwise_sum(spark):
+    a = ["x y z", "x x"]
+    b = ["y q", "z z q"]
+    grid_a = _ref_cms([t for x in a for t in x.split()], 4, 16)
+    grid_b = _ref_cms([t for x in b for t in x.split()], 4, 16)
+    merged = {
+        c: grid_a.get(c, 0) + grid_b.get(c, 0) for c in set(grid_a) | set(grid_b)
+    }
+    got = {
+        (r.seed, r.col): r.cnt
+        for r in freq.cms_state(freq.tokens_of(_docs(spark, a + b)), 4, 16).collect()
+    }
+    assert got == merged
+
+
+def test_heavy_hitters_bound_and_planted_token(spark):
+    texts = ["hot " * 30 + "cold", "hot warm", "mild hot"]
+    out = freq.heavy_hitters(_docs(spark, texts), min_share=0.2, width=8).collect()
+    by_tok = {r.token: r for r in out}
+    assert "hot" in by_tok
+    assert by_tok["hot"].exact_cnt == 32
+    # CMS never under-counts — for every surfaced token
+    assert all(r.bound_ok for r in out)
+    assert all(r.cms_est >= r.exact_cnt for r in out)
+
+
+def test_cms_estimate_exact_when_wide(spark):
+    # width >> distinct tokens -> no collisions -> est == exact
+    texts = ["a a b", "c a"]
+    out = freq.heavy_hitters(_docs(spark, texts), min_share=0.0, width=4096).collect()
+    assert all(r.cms_est == r.exact_cnt for r in out)
+
+
+def test_unigram_quality_hand_values(spark):
+    # vocab(min_count=2): 'aa' (3), 'bb' (2); 'zz'/'qq' OOV
+    texts = ["aa bb aa", "aa bb zz", "qq", ""]
+    rows = {
+        r.doc_id: r
+        for r in freq.unigram_quality(_docs(spark, texts), min_count=2).collect()
+    }
+    assert (rows[0].n_tokens, rows[0].n_oov, rows[0].sum_tf) == (3, 0, 8)
+    assert rows[0].avg_tf == pytest.approx(8 / 3)
+    assert (rows[1].n_tokens, rows[1].n_oov, rows[1].sum_tf) == (3, 1, 5)
+    assert (rows[2].n_tokens, rows[2].n_oov, rows[2].sum_tf) == (1, 1, 0)
+    # empty doc: zero counts, NULL average
+    assert (rows[3].n_tokens, rows[3].n_oov, rows[3].sum_tf) == (0, 0, 0)
+    assert rows[3].avg_tf is None
+
+
+def test_token_budget_fill_until_reached(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * 10) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    out = freq.token_budget_select(docs, budget=25).collect()
+    # hash order; each doc = 10 tokens; budget 25 -> kept docs start at
+    # cum 10, 20, 30(crossing? no: starts at 20 < 25 kept; next starts 30)
+    assert sorted(r.cum_tok for r in out) == [10, 20, 30]
+    order = sorted(range(10), key=lambda i: (_h32(str(i)), i))
+    assert {r.doc_id for r in out} == set(order[:3])
+
+
+def test_token_budget_partitioning_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], "tok " * (1 + i % 5)) for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    a = {(r.doc_id, r.cum_tok) for r in freq.token_budget_select(docs, 30).collect()}
+    b = {
+        (r.doc_id, r.cum_tok)
+        for r in freq.token_budget_select(docs.repartition(7), 30).collect()
+    }
+    assert a == b and a
+
+
+def test_quantize_roundtrip_bounds(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0, 0.5, 0.25]),
+            (1, [-2.0, 2.0, 0.0, 1.0]),
+            (2, [3.5, 3.5, 3.5, 3.5]),  # constant vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_scalar(emb).collect()}
+    for r in rows.values():
+        codes = [int(c) for c in r.codes_str.split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        # nearest-level quantization error bound: half a step (1e-6
+        # slack: max_abs_err is rounded to 6 decimals on output)
+        assert r.max_abs_err <= r.qrange / 255.0 / 2 + 1e-6
+    assert rows[2].qrange == 0.0 and rows[2].max_abs_err == 0.0
+    assert rows[0].qmin == 0.0 and rows[0].qrange == 1.0
+    # exact grid points quantize losslessly: 0.25 -> 64 * (1/255)? no —
+    # 0.25*255 = 63.75 -> code 64, err 0.25 - 64/255 ~ 9.8e-4
+    assert rows[0].max_abs_err <= 1.0 / 510 + 1e-6
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_funnel_stages_ordering(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes the funnel in order
+            (1, _ts(1), 1, "view"),
+            (2, _ts(2), 1, "click"),
+            (3, _ts(3), 1, "purchase"),
+            # u2 clicks BEFORE viewing -> click doesn't count; stage 1
+            (4, _ts(2), 2, "click"),
+            (5, _ts(3), 2, "view"),
+            # u3 views then purchases without click -> stage 1
+            (6, _ts(1), 3, "view"),
+            (7, _ts(2), 3, "purchase"),
+        ],
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = {
+        r.user_id: r
+        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
+    }
+    assert out[1].t_click is not None and out[1].t_purchase is not None
+    assert out[2].t_click is None  # click preceded first view
+    assert out[3].t_click is None and out[3].t_purchase is None
+
+
+def test_cohort_week_offsets(spark):
+    ev = _events(
+        spark,
+        [
+            (1, datetime.datetime(2024, 1, 1), 1, "view"),   # cohort wk of Jan 1
+            (2, datetime.datetime(2024, 1, 10), 1, "view"),  # +1 week
+            (3, datetime.datetime(2024, 1, 16), 2, "view"),  # cohort wk of Jan 15
+            (4, datetime.datetime(2024, 1, 17), 2, "view"),  # same week
+        ],
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
+    j = a.join(f, "user_id").select(
+        "user_id",
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cw"),
+        (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("off"),
+    )
+    got = {(r.user_id, r.cw, r.off) for r in j.collect()}
+    assert got == {(1, "2024-01-01", 0), (1, "2024-01-01", 1), (2, "2024-01-15", 0)}
