@@ -300,6 +300,23 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-Lines scan with an explicit schema — the interchange format
+    of LLM training corpora (one document object per line). Explicit
+    schema skips Spark's sampling inference pass (a full extra scan at
+    100 TB) and keeps types deterministic; JSONL splits by line, so a
+    single large file still parallelizes across executors."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-Lines sink (one object per row, newline-delimited). The
+    default writes one file per partition — the scale path; pair with
+    ``repartition`` upstream to control shard count/size."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Parquet sink — the engine's default interchange format. Optional
     ``partition_by`` enables static + dynamic partition pruning downstream

@@ -6,14 +6,16 @@ columns with typed metadata, plus decode / feature-extract / resize /
 frame-sample stages as Arrow-batched ``mapInPandas`` operators.
 
 The compressed-codec libraries (libjpeg/libpng/ffmpeg) are NOT in this
-container, so the engine carries a REAL pure-Python codec for the
-uncompressed formats (PPM P6 decode+encode, BMP 24/32-bit decode) —
-header parsing, pixel access, and nearest-neighbor resampling are
-genuine and value-verified against a DuckDB oracle that re-derives
-dimensions, byte lengths and pixel checksums independently. Only the
-video frame decoder remains a byte-slicing stub (clearly marked): no
-pure-Python video codec is feasible. Swapping in ``PIL.Image.open`` for
-compressed formats is a one-function change that alters no plan shape.
+container, so the engine carries REAL pure-Python codecs for the
+uncompressed formats: PPM (P6) decode+encode, BMP 24/32-bit decode,
+and an AVI (RIFF) container walk extracting uncompressed 24-bit DIB
+frames — header parsing, pixel access, nearest-neighbor resampling and
+per-frame extraction are genuine and value-verified against a DuckDB
+oracle that re-derives dimensions, byte lengths and pixel checksums
+independently. Swapping in ``PIL.Image.open`` / ``av`` for compressed
+formats is a one-function change that alters no plan shape; the only
+remaining generic path is :func:`sample_frames`, the byte-window
+fan-out for formats without an in-container codec.
 
 Scale notes: binary payloads make rows wide — the operators keep
 metadata-only projections separate from payload-carrying ones so
@@ -256,12 +258,182 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Frame-sampling stage (video -> frames, 1 row -> N rows).
+# ---------------------------------------------------------------------------
+# Pure-Python video codec: AVI (RIFF) container with uncompressed 24-bit
+# DIB frames ('00db' chunks). Like the PPM/BMP codec above, uncompressed
+# AVI needs no external library — the RIFF walk, header parsing and
+# frame extraction are a real codec, not a stub.
+# ---------------------------------------------------------------------------
 
-    STUB kernel slices the payload; a real decoder would emit actual
-    frames. The fan-out shape (mapInPandas yielding more rows than it
-    consumed) is the real contract."""
+
+def encode_avi(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal spec-correct AVI: RIFF('AVI ') -> LIST('hdrl') with avih +
+    one 'vids'/'DIB ' stream -> LIST('movi') of '00db' frame chunks.
+    Each frame is packed 24-bit pixel data of length 3*width*height
+    (callers pass stride-free rows; use widths whose 3*w is 4-aligned
+    for strict-player compatibility)."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    frame_size = 3 * width * height
+    for f in frames:
+        if len(f) != frame_size:
+            raise ValueError(f"frame length {len(f)} != 3*{width}*{height}")
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0, len(frames), 0, 1, frame_size, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, 25, 0, len(frames), frame_size, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse an AVI payload: returns (width, height, frames) where each
+    frame is the raw bytes of a '00db'/'00dc' chunk in stream order.
+    Raises ValueError on non-RIFF/AVI input or a missing main header.
+    The walk honors RIFF even-byte chunk padding."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not a RIFF/AVI payload: {payload[:4]!r}")
+    dims: list[tuple[int, int]] = []
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                w, h = struct.unpack_from("<II", buf, data_start + 32)
+                dims.append((w, h))
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)  # even-byte chunk padding
+
+    walk(payload, 12, 12 + struct.unpack_from("<I", payload, 4)[0] - 4)
+    if not dims:
+        raise ValueError("AVI payload has no 'avih' main header")
+    width, height = dims[0]
+    return width, height, frames
+
+
+def synth_avi_payload(media_id: int) -> bytes:
+    """Deterministic synthetic AVI: dimensions, frame count and every
+    frame byte are closed-form functions of ``media_id``, so a SQL
+    oracle re-derives each frame's byte sum independently
+    (w = 4*(1 + id%3), h = 2 + id%4, n_frames = 1 + id%3,
+    frame f byte i = (id*17 + f*11 + 5*i) % 256)."""
+    width = 4 * (1 + media_id % 3)
+    height = 2 + media_id % 4
+    n_frames = 1 + media_id % 3
+    n = 3 * width * height
+    frames = [
+        bytes((media_id * 17 + f * 11 + 5 * i) % 256 for i in range(n))
+        for f in range(n_frames)
+    ]
+    return encode_avi(width, height, frames)
+
+
+def documents_as_avi_media(docs: DataFrame) -> DataFrame:
+    """Synthetic video corpus over the documents table: one real AVI
+    payload per doc (see :func:`synth_avi_payload`), decodable through
+    the production RIFF codec and byte-for-byte SQL-re-derivable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payload = pdf["doc_id"].map(lambda i: synth_avi_payload(int(i)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "uri": "mem://avi/" + pdf["doc_id"].astype(str),
+                    "media_type": "video",
+                    "payload": payload,
+                    "n_bytes": payload.map(len),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+AVI_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, n_bytes long, frame_sum long"
+)
+
+
+def decode_avi_frames(
+    media: DataFrame, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """REAL video frame extraction (1 row -> N rows): parse the RIFF
+    container, take every ``every_n``-th '00db' frame up to
+    ``max_frames``, and emit per-frame metadata + the pixel byte sum
+    (the integrity signal an oracle can re-derive). Undecodable
+    payloads yield zero rows (tag-don't-kill happens upstream on the
+    metadata path). Arrow-batched mapInPandas; numpy does the byte
+    summation."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "frame_sum": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = decode_avi(bytes(b or b""))
+                except ValueError:
+                    continue
+                picked = frames[:: max(every_n, 1)]
+                if max_frames is not None:
+                    picked = picked[:max_frames]
+                for k, fr in enumerate(picked):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k * max(every_n, 1))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_bytes"].append(len(fr))
+                    out["frame_sum"].append(
+                        int(np.frombuffer(fr, dtype=np.uint8).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                    "frame_sum": pd.Series(out["frame_sum"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AVI_FRAME_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage over OPAQUE payloads (video -> frames,
+    1 row -> N rows) — the generic byte-window fan-out for formats
+    without an in-container codec. For real AVI payloads use
+    :func:`decode_avi_frames`, which parses the container and emits
+    actual frames."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

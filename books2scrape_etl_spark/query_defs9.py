@@ -216,6 +216,55 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.quantize_scalar(emb)
 
 
+@register(
+    "scan_jsonl",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + explicit-schema scan round trip over the documents
+    table — the LLM-corpus interchange format. The oracle reads the
+    ORIGINAL parquet, so the check pins lossless serialization of text
+    (newlines, unicode) through the JSON line format."""
+    import os
+
+    from books2scrape_etl_spark.io import TESTDATA_SCHEMAS, read_jsonl, write_jsonl
+
+    path = os.path.join("/tmp/spark_graft_scratch", "documents_jsonl")
+    write_jsonl(read_table(spark, "documents", sf_dir), path)
+    return read_jsonl(spark, path, TESTDATA_SCHEMAS["documents"])
+
+
+_AVI_FRAMES_SQL = """
+WITH params AS (
+  SELECT doc_id, 4 * (1 + doc_id % 3) AS w, 2 + doc_id % 4 AS h,
+         1 + doc_id % 3 AS nf
+  FROM documents
+),
+frames AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM params),
+bytes AS (SELECT doc_id, w, h, f, unnest(range(3 * w * h)) AS i FROM frames)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 * w * h AS BIGINT) AS n_bytes,
+       CAST(SUM((doc_id * 17 + f * 11 + 5 * i) % 256) AS BIGINT) AS frame_sum
+FROM bytes GROUP BY doc_id, f, w, h
+"""
+
+
+@register("avi_frames", _AVI_FRAMES_SQL)
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 video — REAL frame extraction through the RIFF/AVI codec:
+    synthetic AVI payload per document (closed-form bytes), parsed by
+    the production container walk; every frame's dims and pixel byte
+    sum are value-matched against an oracle that re-derives them from
+    the generation rule — the same decode-is-data contract as
+    multimodal_decode. Clears the last multimodal stub."""
+    from books2scrape_etl_spark.operators import multimodal
+
+    docs = read_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_avi_media(docs)
+    return multimodal.decode_avi_frames(media, every_n=1)
+
+
 _FUNNEL_SQL = """
 WITH v AS (
   SELECT user_id, MIN(ts) AS t_view FROM events

@@ -252,6 +252,45 @@ def test_resize_nearest_neighbor_reference(spark):
     assert rpix == expect
 
 
+def test_avi_codec_roundtrip():
+    """RIFF/AVI container: encode N frames, decode back the identical
+    dims + frame bytes; reject non-RIFF payloads."""
+    import pytest as _pytest
+
+    frames = [bytes((f * 11 + 5 * i) % 256 for i in range(3 * 8 * 2)) for f in range(3)]
+    payload = multimodal.encode_avi(8, 2, frames)
+    w, h, got = multimodal.decode_avi(payload)
+    assert (w, h) == (8, 2)
+    assert got == frames
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi(b"nota riff payload")
+    # synthetic corpus follows its closed-form generation rule
+    p = multimodal.synth_avi_payload(11)
+    w, h, fr = multimodal.decode_avi(p)
+    assert (w, h, len(fr)) == (4 * (1 + 11 % 3), 2 + 11 % 4, 1 + 11 % 3)
+    assert fr[1][0] == (11 * 17 + 11) % 256
+
+
+def test_avi_frame_extraction_fanout(spark):
+    """decode_avi_frames: real per-frame rows with stride + cap; text
+    payloads (not RIFF) yield zero rows, not a crash."""
+    avi = multimodal.synth_avi_payload(5)  # 5 % 3 = 2 -> 3 frames
+    media = spark.createDataFrame(
+        [
+            (5, "mem://v", "video", bytearray(avi), len(avi)),
+            (6, "mem://t", "video", bytearray(b"plain text"), 10),
+        ],
+        "media_id long, uri string, media_type string, payload binary, n_bytes long",
+    )
+    rows = multimodal.decode_avi_frames(media, every_n=2, max_frames=2).collect()
+    assert {r.media_id for r in rows} == {5}
+    assert sorted(r.frame_idx for r in rows) == [0, 2]  # every 2nd of 3 frames
+    w, h, frames = multimodal.decode_avi(avi)
+    for r in rows:
+        assert (r.width, r.height, r.n_bytes) == (w, h, 3 * w * h)
+        assert r.frame_sum == sum(frames[r.frame_idx])
+
+
 # --- streaming batch equivalents -------------------------------------------
 
 
