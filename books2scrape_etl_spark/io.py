@@ -317,6 +317,18 @@ def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark's second built-in columnar format (vectorized
+    reader, predicate pushdown and column pruning like parquet). Kept
+    for interchange with Hive/Trino-era warehouses."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib-striped columnar, one file per partition)."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Parquet sink — the engine's default interchange format. Optional
     ``partition_by`` enables static + dynamic partition pruning downstream

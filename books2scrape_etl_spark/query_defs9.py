@@ -234,6 +234,28 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, TESTDATA_SCHEMAS["documents"])
 
 
+@register(
+    "scan_orc",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority "
+    "FROM orders",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round trip over the orders table (Spark's second
+    built-in columnar format — vectorized reader, pushdown, pruning).
+    The oracle reads the ORIGINAL parquet, pinning lossless columnar
+    interchange. Timestamp column excluded: ORC stores session-local
+    timestamps (a known cross-format semantic difference) — the events
+    reader's NTZ handling in read_table is the engine's answer there."""
+    import os
+
+    from books2scrape_etl_spark.io import read_orc, write_orc
+
+    path = os.path.join("/tmp/spark_graft_scratch", "orders_orc")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    write_orc(read_table(spark, "orders", sf_dir).select(*cols), path)
+    return read_orc(spark, path)
+
+
 _AVI_FRAMES_SQL = """
 WITH params AS (
   SELECT doc_id, 4 * (1 + doc_id % 3) AS w, 2 + doc_id % 4 AS h,
