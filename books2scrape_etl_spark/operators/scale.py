@@ -140,3 +140,62 @@ def bucketed_join(
     left = spark.table(left_name).hint("merge")
     right = spark.table(right_name)
     return left.join(right, F.col(left_key) == F.col(right_key))
+
+
+_BLOOM_CONFS = {
+    # inject a bloom filter from the filtered (creation) side into the
+    # fact-side scan; thresholds opened up so the injection also fires
+    # at test scale (the defaults target multi-GB plans)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # force the shuffle join: a broadcast join already semi-filters the
+    # fact side, so bloom injection targets non-broadcast plans only
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(spark, fact: DataFrame, dim: DataFrame, fact_key, dim_key) -> DataFrame:
+    """Runtime bloom-filter-pruned shuffle join (Spark's AQE runtime
+    filter): the selective dim side builds a `bloom_filter_agg` over its
+    join keys and the optimizer injects `BloomFilterMightContain` into
+    the fact scan — fact rows that cannot match are dropped BEFORE the
+    shuffle. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~matching fraction, for joins
+    where the dim is too big to broadcast.
+
+    Bloom injection is a pure optimization (false positives only ever
+    let extra rows through to the exact join), so results are
+    bit-identical to the plain join — which is exactly what the oracle
+    pairing checks. The confs are session-wide, so the join is
+    materialized eagerly under the conf guard and every previous value
+    restored after."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(dim, to_col(fact_key) == to_col(dim_key))
+        return joined.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def bloom_plan_text(spark, fact: DataFrame, dim: DataFrame, fact_key, dim_key) -> str:
+    """Optimized-plan text of the bloom-pruned join under the conf
+    guard (for the plan test pinning `bloom_filter_agg` injection)."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(dim, to_col(fact_key) == to_col(dim_key))
+        return joined._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

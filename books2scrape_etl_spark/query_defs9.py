@@ -256,6 +256,115 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+_JOIN_BLOOM_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_bloom", _JOIN_BLOOM_SQL)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path — runtime bloom-filter-pruned shuffle join: the
+    selective orders side builds a bloom_filter_agg and AQE injects
+    BloomFilterMightContain into the lineitem scan, dropping
+    non-matching fact rows BEFORE the shuffle (the non-broadcastable-
+    dim answer to semi-filtering). Pure optimization, so the oracle is
+    the plain join — bit-identical results required. Injection itself
+    is pinned by a dedicated plan test."""
+    from books2scrape_etl_spark.operators import scale
+
+    li = read_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
+    o = read_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    joined = scale.bloom_pruned_join(spark, li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+_WINDOW_RANGE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+  FROM events
+)
+SELECT event_id, user_id, es,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_7d,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_range_time", _WINDOW_RANGE_SQL)
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 extension — TIME-based RANGE window frame: per-user trailing
+    7-day event count and exact-decimal value sum. RANGE frames bound
+    by the ORDER-BY VALUE (epoch seconds), not row position, so peers
+    with equal timestamps share a frame and no tiebreak is needed —
+    the frame is deterministic under any partitioning. The window is
+    partitioned by user (state = one frame per user, parallelism =
+    users); this is the sliding-feature shape ML feature pipelines
+    compute at scale."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = read_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("es"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-604799, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.count(F.lit(1)).over(w).alias("cnt_7d"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(props ->> '$.k' AS INTEGER) AS k_int,
+       CAST(props ->> '$.missing' AS INTEGER) AS k_missing,
+       TRUE AS bad_is_null
+FROM events
+"""
+
+
+@register("variant_ops", _VARIANT_SQL)
+def q_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension — semi-structured access through Spark 4's
+    VARIANT type: ``parse_json`` once, then typed ``variant_get`` path
+    extraction (binary variant encoding: parse once, extract many —
+    unlike ``get_json_object`` which re-parses the string per call).
+    Missing paths yield NULL; ``try_parse_json`` turns malformed input
+    into NULL instead of failing the task (corpus JSON is never clean
+    at 100 TB)."""
+    ev = read_table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.missing", "int").alias("k_missing"),
+        F.try_parse_json(F.lit("{not json")).isNull().alias("bad_is_null"),
+    )
+
+
 _AVI_FRAMES_SQL = """
 WITH params AS (
   SELECT doc_id, 4 * (1 + doc_id % 3) AS w, 2 + doc_id % 4 AS h,

@@ -185,3 +185,24 @@ def test_plan_lint_whole_registry(registry_plans):
             assert "BatchEvalPython" not in plan, qname
     skipped = len(QUERIES) - len(registry_plans)
     assert skipped >= 6  # the rt family exists and was excluded
+
+
+def test_bloom_filter_injection(spark, sf_dir):
+    """join_bloom's conf guard must actually trigger AQE runtime bloom
+    injection: the selective dim side aggregates a bloom_filter_agg
+    and the fact side carries a might_contain probe in the optimized
+    plan. (Result parity with the plain join is the qname's oracle.)"""
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.operators.scale import bloom_plan_text
+
+    li = read_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
+    o = (
+        read_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    plan = bloom_plan_text(spark, li, o, "l_orderkey", "o_orderkey")
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
