@@ -256,6 +256,39 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+# Shared Spark-SQL / DuckDB dialect (the query_defs8 contract): ONE SQL
+# string, run verbatim on both engines. Recursive CTEs landed in Spark
+# 4.0 — the spine generates the full calendar month and the left join
+# densifies days with no events to an explicit zero (gap filling, the
+# classic recursive-CTE analytics shape).
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '2024-01-01' AS d
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '2024-01-31'
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(days.d AS STRING) AS day_str, COALESCE(daily.n, 0) AS n_events
+FROM days LEFT JOIN daily ON daily.d = days.d
+"""
+
+
+@register("recursive_cte", _RECURSIVE_CTE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface — WITH RECURSIVE (Spark 4 UnionLoop execution):
+    calendar-spine densification of daily event counts, the identical
+    SQL text the DuckDB oracle runs. Recursion depth is the calendar
+    length (31), not the data size — the per-iteration work is a
+    one-row append, and the big side stays one aggregated join."""
+    _utc(spark)
+    read_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
 _JOIN_BLOOM_SQL = """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -217,3 +217,26 @@ def test_cohort_week_offsets(spark):
     )
     got = {(r.user_id, r.cw, r.off) for r in j.collect()}
     assert got == {(1, "2024-01-01", 0), (1, "2024-01-01", 1), (2, "2024-01-15", 0)}
+
+
+def test_range_frame_peers_share_window(spark):
+    """TIME-based RANGE frames bound by the ORDER-BY value: rows with
+    EQUAL timestamps are peers and must see the same frame (count
+    includes all peers regardless of row order) — the property that
+    makes the frame deterministic without a tiebreak key."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0), (3, 150, 4.0), (4, 400, 8.0)],
+        "event_id long, es long, value double",
+    )
+    w = Window.orderBy("es").rangeBetween(-100, Window.currentRow)
+    rows = {
+        r.event_id: r.cnt
+        for r in df.select(
+            "event_id", F.count(F.lit(1)).over(w).alias("cnt")
+        ).collect()
+    }
+    # es=100 rows are peers: both count both; es=150 sees all three
+    # within 100; es=400 sees only itself
+    assert rows == {1: 2, 2: 2, 3: 3, 4: 1}
