@@ -100,3 +100,77 @@ def kmv_distinct(
         return out.localCheckpoint(eager=True)
     finally:
         hashes.unpersist()
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key: Column | str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch ALGEBRA (Beyer et al. 2007 §4): union and intersection
+    estimates for two labeled subsets, derived purely from the two
+    sketches — the reason mergeable sketches matter at 100 TB: the
+    exact sets never co-locate; only 2k longs do.
+
+    - union sketch U = k smallest of (A ∪ B sketch values); by the KMV
+      law this IS the sketch of the union, so est_union follows the
+      standard estimator;
+    - Jaccard estimate ρ = |{v ∈ U : v ∈ A and v ∈ B}| / |U| (the
+      union sketch is a uniform sample of the union's hash space);
+    - est_intersection = ρ · est_union (inclusion through the sample).
+
+    Returns ONE row: per-sketch fill/boundary (k_a, kth_a, k_b, kth_b,
+    k_u, kth_u), n_shared, the three estimates, and the exact union /
+    intersection distinct counts for calibration. Every sketch value
+    uses the portable md5 rule, so the whole derivation — sketches,
+    estimates, exacts — replays in oracle SQL.
+    """
+    lab = to_col(label_col)
+    hashes = (
+        df.where(lab.isin(label_a, label_b))
+        .select(lab.alias("lab"), portable_hash32(key).alias("hv"))
+        .distinct()
+        .persist()
+    )
+    ska = hashes.where(F.col("lab") == label_a).select("hv").orderBy("hv").limit(k).persist()
+    skb = hashes.where(F.col("lab") == label_b).select("hv").orderBy("hv").limit(k).persist()
+    u = ska.union(skb).distinct().orderBy("hv").limit(k).persist()
+    try:
+        one = F.count(F.lit(1))
+        agg_a = ska.agg(one.alias("k_a"), F.max("hv").alias("kth_a"))
+        agg_b = skb.agg(one.alias("k_b"), F.max("hv").alias("kth_b"))
+        agg_u = u.agg(one.alias("k_u"), F.max("hv").alias("kth_u"))
+        shared = (
+            u.join(ska, "hv", "left_semi")
+            .join(skb, "hv", "left_semi")
+            .agg(one.alias("n_shared"))
+        )
+        exact_u = hashes.select("hv").distinct().agg(one.alias("exact_union"))
+        exact_i = (
+            hashes.groupBy("hv")
+            .agg(F.count_distinct("lab").alias("nl"))
+            .where(F.col("nl") == 2)
+            .agg(one.alias("exact_inter"))
+        )
+        row = (
+            agg_a.crossJoin(agg_b).crossJoin(agg_u).crossJoin(shared)
+            .crossJoin(exact_u).crossJoin(exact_i)
+        )
+        est_union = F.when(F.col("k_u") < k, F.col("k_u").cast("double")).otherwise(
+            F.lit(float((k - 1) * 4294967296)) / F.col("kth_u").cast("double")
+        )
+        est_j = F.col("n_shared").cast("double") / F.col("k_u").cast("double")
+        out = row.select(
+            "k_a", "kth_a", "k_b", "kth_b", "k_u", "kth_u", "n_shared",
+            est_union.alias("est_union"),
+            est_j.alias("est_jaccard"),
+            (est_j * est_union).alias("est_intersection"),
+            "exact_union", "exact_inter",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in (u, skb, ska, hashes):
+            c.unpersist()

@@ -256,6 +256,63 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+_KMV_K = 64
+_KMV_EST_UNION = (
+    f"CASE WHEN au.k_u < {_KMV_K} THEN CAST(au.k_u AS DOUBLE) "
+    f"ELSE {(_KMV_K - 1) * 4294967296}.0 / CAST(au.kth_u AS DOUBLE) END"
+)
+_KMV_EST_J = "CAST(s.n_shared AS DOUBLE) / CAST(au.k_u AS DOUBLE)"
+
+_KMV_SETOPS_SQL = f"""
+WITH {_TOKS_CTE},
+t3 AS (
+  SELECT DISTINCT d.lang AS lab, {_h32("t2.token")} AS hv
+  FROM t2 JOIN documents d ON d.doc_id = t2.doc_id
+  WHERE d.lang IN ('en', 'fr')
+),
+ska AS (SELECT hv FROM t3 WHERE lab = 'en' ORDER BY hv LIMIT {_KMV_K}),
+skb AS (SELECT hv FROM t3 WHERE lab = 'fr' ORDER BY hv LIMIT {_KMV_K}),
+u AS (
+  SELECT DISTINCT hv
+  FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) q
+  ORDER BY hv LIMIT {_KMV_K}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM u
+  WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)
+),
+aa AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_a, MAX(hv) AS kth_a FROM ska),
+ab AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_b, MAX(hv) AS kth_b FROM skb),
+au AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_u, MAX(hv) AS kth_u FROM u),
+eu AS (SELECT CAST(COUNT(DISTINCT hv) AS BIGINT) AS exact_union FROM t3),
+ei AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM (SELECT hv FROM t3 GROUP BY hv HAVING COUNT(DISTINCT lab) = 2) q
+)
+SELECT aa.k_a, aa.kth_a, ab.k_b, ab.kth_b, au.k_u, au.kth_u, s.n_shared,
+       {_KMV_EST_UNION} AS est_union,
+       {_KMV_EST_J} AS est_jaccard,
+       ({_KMV_EST_J}) * ({_KMV_EST_UNION}) AS est_intersection,
+       eu.exact_union, ei.exact_inter
+FROM aa, ab, au, s, eu, ei
+"""
+
+
+@register("sketch_kmv_setops", _KMV_SETOPS_SQL)
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch algebra — union/Jaccard/intersection estimates for
+    the en-vs-fr token vocabularies from the two sketches alone, with
+    exact counts for calibration; the whole derivation (sketch states,
+    estimators, exacts) replays in the oracle."""
+    from books2scrape_etl_spark.operators.sketch import kmv_set_ops
+
+    docs = read_table(spark, "documents", sf_dir)
+    toks = freq.tokens_of(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return kmv_set_ops(toks, "token", "lang", "en", "fr", k=_KMV_K)
+
+
 # Shared Spark-SQL / DuckDB dialect (the query_defs8 contract): ONE SQL
 # string, run verbatim on both engines. Recursive CTEs landed in Spark
 # 4.0 — the spine generates the full calendar month and the left join

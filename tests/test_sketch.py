@@ -59,3 +59,27 @@ def test_kmv_grouped(spark, sf_dir):
             assert r.est_dv == float(r.exact_dv)
         else:
             assert abs(r.est_dv - r.exact_dv) / r.exact_dv < 0.2
+
+
+def test_kmv_set_ops_estimates(spark):
+    """Union/intersection estimates from the two sketches alone must
+    track the true overlap: A = 0..2999, B = 1500..4499 -> union 4500,
+    intersection 1500 (Jaccard 1/3)."""
+    from books2scrape_etl_spark.operators.sketch import kmv_set_ops
+
+    rows = [("a", x) for x in range(0, 3000)] + [("b", x) for x in range(1500, 4500)]
+    df = spark.createDataFrame(rows, "lab string, key long")
+    (r,) = kmv_set_ops(df, "key", "lab", "a", "b", k=128).collect()
+    assert r.k_a == r.k_b == r.k_u == 128
+    assert r.exact_union == 4500 and r.exact_inter == 1500
+    # ~1/sqrt(127) ≈ 9% expected; allow 3 sigma
+    assert abs(r.est_union - 4500) / 4500 < 0.3
+    assert abs(r.est_jaccard - 1 / 3) < 0.15
+    assert abs(r.est_intersection - 1500) / 1500 < 0.45
+    # union sketch boundary is the true 128th smallest hash of A∪B
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+    assert r.kth_u == sorted(h(x) for x in range(4500))[127]
