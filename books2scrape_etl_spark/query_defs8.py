@@ -70,7 +70,7 @@ def _sql_query(sql: str):
 _Q2_SQL = f"""
 WITH {_PS_CTE}
 SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
-       round(ps.min_cost, 4) AS cost
+       floor(ps.min_cost * 10000 + 0.5) / 10000 AS cost
 FROM part p
 JOIN ps ON ps.l_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = ps.l_suppkey

@@ -317,9 +317,16 @@ def streaming_click_purchase_join(
     design. Self-joining one source stream is two logical streams to
     the engine (each side tracks its own watermark)."""
     ev = _stream_events(spark, sf_dir)
+    # Event time truncated to whole seconds: the attribution window is
+    # defined at second granularity (the batch twin and its oracle use
+    # floor(epoch(ts))), so the stream must bound the interval on the
+    # same clock — on raw microsecond timestamps, a purchase landing in
+    # the sub-second gap at exactly the +30min boundary would match the
+    # batch form but not the stream.
+    sec = F.date_trunc("second", F.col("ts"))
     clicks = (
         ev.where(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .select("user_id", F.col("event_id").alias("click_id"), sec.alias("c_ts"))
         .withWatermark("c_ts", "1 hour")
     )
     buys = (
@@ -327,7 +334,7 @@ def streaming_click_purchase_join(
         .select(
             F.col("user_id").alias("b_user"),
             F.col("event_id").alias("buy_id"),
-            F.col("ts").alias("b_ts"),
+            sec.alias("b_ts"),
         )
         .withWatermark("b_ts", "1 hour")
     )
