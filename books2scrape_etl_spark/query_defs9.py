@@ -256,6 +256,43 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+@register(
+    "scan_merge_schema",
+    """
+    SELECT doc_id, CAST(1 AS INT) AS batch, text, CAST(NULL AS VARCHAR) AS lang
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT), CAST(NULL AS VARCHAR), lang
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across landed batches: two parquet batches with
+    DIFFERENT column sets under one root (batch 1 carries text, batch 2
+    carries lang — the add-a-column drift every long-lived landing zone
+    accumulates), read back with ``mergeSchema`` — the union schema
+    with per-batch NULLs for absent columns. The oracle replays the
+    union from the original table, so the round trip pins both the
+    merge semantics and value fidelity. At scale, schema merging is a
+    footer-only operation (no data rewrite) — that is the point."""
+    import os
+
+    root = os.path.join("/tmp/spark_graft_scratch", "docs_evolving")
+    docs = read_table(spark, "documents", sf_dir)
+    b1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit(1).alias("batch"), "text"
+    )
+    b2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.lit(2).alias("batch"), "lang"
+    )
+    b1.write.mode("overwrite").parquet(os.path.join(root, "b1"))
+    b2.write.mode("overwrite").parquet(os.path.join(root, "b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "b1"), os.path.join(root, "b2")
+    )
+    return merged.select("doc_id", "batch", "text", "lang")
+
+
 _DQ_AUDIT_SQL = """
 SELECT 'null:l_orderkey' AS check_name,
        CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS metric
