@@ -65,7 +65,14 @@ def audit(
         aggs.append(violation_count(pred).alias(f"pred:{name}"))
     for keys in unique or []:
         label = "unique:" + ",".join(keys)
-        dupes = F.count(F.lit(1)) - F.count_distinct(*[to_col(k) for k in keys])
+        # distinct over a STRUCT of the keys, not the bare columns:
+        # count_distinct(a, b) silently drops rows where any key is
+        # NULL (inflating the duplicate metric), while a struct with
+        # NULL fields is itself non-null and counts as a value — the
+        # semantics SQL's COUNT(DISTINCT (a, b)) uses.
+        dupes = F.count(F.lit(1)) - F.count_distinct(
+            F.struct(*[to_col(k) for k in keys])
+        )
         aggs.append(dupes.alias(label))
     sections: list[DataFrame] = []
     if aggs:
@@ -88,6 +95,8 @@ def audit(
                 F.lit(f"ref:{name}").alias("check_name"), "metric"
             )
         )
+    if not sections:
+        raise ValueError("audit() called with no constraints declared")
     out = sections[0]
     for s in sections[1:]:
         out = out.union(s)

@@ -301,9 +301,11 @@ def encode_avi(width: int, height: int, frames: list[bytes]) -> bytes:
 
 def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Parse an AVI payload: returns (width, height, frames) where each
-    frame is the raw bytes of a '00db'/'00dc' chunk in stream order.
-    Raises ValueError on non-RIFF/AVI input or a missing main header.
-    The walk honors RIFF even-byte chunk padding."""
+    frame is the raw bytes of a STREAM-0 '00db'/'00dc' chunk in stream
+    order (secondary streams '01db'... are skipped — the avih dims
+    describe the first video stream). Raises ValueError on non-RIFF/AVI
+    input, a truncated container, or a missing main header. The walk
+    honors RIFF even-byte chunk padding."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -321,11 +323,14 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
             elif fourcc == b"avih":
                 w, h = struct.unpack_from("<II", buf, data_start + 32)
                 dims.append((w, h))
-            elif fourcc[2:4] in (b"db", b"dc"):
+            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"db", b"dc"):
                 frames.append(buf[data_start : data_start + size])
             pos = data_start + size + (size % 2)  # even-byte chunk padding
 
-    walk(payload, 12, 12 + struct.unpack_from("<I", payload, 4)[0] - 4)
+    try:
+        walk(payload, 12, 12 + struct.unpack_from("<I", payload, 4)[0] - 4)
+    except struct.error as exc:  # truncated container mid-chunk
+        raise ValueError(f"truncated RIFF/AVI payload: {exc}") from exc
     if not dims:
         raise ValueError("AVI payload has no 'avih' main header")
     width, height = dims[0]

@@ -155,6 +155,26 @@ _BLOOM_CONFS = {
 }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _bloom_conf_guard(spark):
+    """Set the runtime-bloom confs, restoring every previous value on
+    exit — shared by the join and its plan-text probe."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def bloom_pruned_join(spark, fact: DataFrame, dim: DataFrame, fact_key, dim_key) -> DataFrame:
     """Runtime bloom-filter-pruned shuffle join (Spark's AQE runtime
     filter): the selective dim side builds a `bloom_filter_agg` over its
@@ -170,32 +190,14 @@ def bloom_pruned_join(spark, fact: DataFrame, dim: DataFrame, fact_key, dim_key)
     pairing checks. The confs are session-wide, so the join is
     materialized eagerly under the conf guard and every previous value
     restored after."""
-    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with _bloom_conf_guard(spark):
         joined = fact.join(dim, to_col(fact_key) == to_col(dim_key))
         return joined.localCheckpoint(eager=True)
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def bloom_plan_text(spark, fact: DataFrame, dim: DataFrame, fact_key, dim_key) -> str:
     """Optimized-plan text of the bloom-pruned join under the conf
     guard (for the plan test pinning `bloom_filter_agg` injection)."""
-    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with _bloom_conf_guard(spark):
         joined = fact.join(dim, to_col(fact_key) == to_col(dim_key))
         return joined._jdf.queryExecution().optimizedPlan().toString()
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

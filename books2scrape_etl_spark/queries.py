@@ -62,11 +62,12 @@ from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 # pivot_unpivot_suite, subquery_suite, grouping_sets, agg_having,
 # scalar_funcs_suite, date_funcs, ...) rotate OUT to the just-past-window
 # oracle-paired block. Rotate them back in round 6 — TOGETHER WITH the
-# 14 late-round-5 wave-9 qnames (sketch_cms, heavy_hitters, lm_quality,
+# 17 late-round-5 wave-9 qnames (sketch_cms, heavy_hitters, lm_quality,
 # token_budget, embed_quantize, funnel_steps, cohort_retention,
-# scan_jsonl, scan_orc, avi_frames, join_bloom, window_range_time,
-# variant_ops, recursive_cte), which are oracle-paired and
-# driver-sim-green but sit past the window this round.
+# scan_jsonl, scan_orc, scan_merge_schema, avi_frames, join_bloom,
+# window_range_time, variant_ops, recursive_cte, sketch_kmv_setops,
+# dq_audit), which are oracle-paired and driver-sim-green at both
+# sf0.01 and sf0.1 but sit past the window this round.
 WINDOW: tuple[str, ...] = (
     # headline + TPC-H shapes + the end-to-end reference DAG
     "flagship", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",

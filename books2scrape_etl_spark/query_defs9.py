@@ -13,8 +13,12 @@ corpus assembly, and event-funnel analytics.
   reconstruction metrics, bit-replayed by the oracle.
 - ``funnel_steps`` / ``cohort_retention`` — classic event analytics
   over the events table (staged conditional mins; weekly cohorts).
+- format/evolution round trips (``scan_jsonl``, ``scan_orc``,
+  ``scan_merge_schema``), runtime-filter join (``join_bloom``),
+  time-RANGE frames, VARIANT, WITH RECURSIVE, real AVI frames, KMV
+  set algebra, and the Deequ-style ``dq_audit``.
 
-All seven are oracle-paired; they sit just past the 50-entry driver
+All 17 are oracle-paired; they sit just past the 50-entry driver
 window this round (the window carries the r5 rotation set) and rotate
 in for round 6 alongside the multi-round-green returners.
 """
@@ -47,7 +51,7 @@ t2 AS (SELECT doc_id, token FROM toks WHERE token <> '')
 _CMS_DEPTH, _CMS_WIDTH = 4, 64
 
 _CMS_CELLS = f"""
-seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+seeds AS (SELECT unnest([{", ".join(str(s) for s in range(_CMS_DEPTH))}]) AS seed),
 cells AS (
   SELECT seeds.seed,
          {_h32("CAST(seeds.seed AS VARCHAR) || ':' || t2.token")} % {_CMS_WIDTH} AS col
@@ -229,7 +233,9 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from books2scrape_etl_spark.io import TESTDATA_SCHEMAS, read_jsonl, write_jsonl
 
-    path = os.path.join("/tmp/spark_graft_scratch", "documents_jsonl")
+    path = os.path.join(
+        "/tmp/spark_graft_scratch", f"documents_jsonl_{os.path.basename(sf_dir)}"
+    )
     write_jsonl(read_table(spark, "documents", sf_dir), path)
     return read_jsonl(spark, path, TESTDATA_SCHEMAS["documents"])
 
@@ -250,7 +256,9 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from books2scrape_etl_spark.io import read_orc, write_orc
 
-    path = os.path.join("/tmp/spark_graft_scratch", "orders_orc")
+    path = os.path.join(
+        "/tmp/spark_graft_scratch", f"orders_orc_{os.path.basename(sf_dir)}"
+    )
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     write_orc(read_table(spark, "orders", sf_dir).select(*cols), path)
     return read_orc(spark, path)
@@ -277,7 +285,9 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer-only operation (no data rewrite) — that is the point."""
     import os
 
-    root = os.path.join("/tmp/spark_graft_scratch", "docs_evolving")
+    root = os.path.join(
+        "/tmp/spark_graft_scratch", f"docs_evolving_{os.path.basename(sf_dir)}"
+    )
     docs = read_table(spark, "documents", sf_dir)
     b1 = docs.where(F.col("doc_id") % 2 == 0).select(
         "doc_id", F.lit(1).alias("batch"), "text"
@@ -549,7 +559,10 @@ def q_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     into NULL instead of failing the task (corpus JSON is never clean
     at 100 TB)."""
     ev = read_table(spark, "events", sf_dir)
-    v = F.parse_json(F.col("props"))
+    # try_parse_json on the REAL column: malformed rows become NULL
+    # variants (and NULL extractions), never task failures — matching
+    # the oracle's ->> which also NULLs on bad JSON.
+    v = F.try_parse_json(F.col("props"))
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),

@@ -511,3 +511,39 @@ def test_ivf_pandas_assignment_null_propagates(spark):
     rows = {r.vec_id: r.list_id for r in similarity.ivf_assign_pandas(emb, centers).collect()}
     assert rows[0] == 0 and rows[2] == 1
     assert rows[1] is None
+
+
+def test_avi_truncated_and_multistream(spark):
+    """Truncated RIFF bodies raise ValueError (not struct.error), so
+    the frame extractor's tag-don't-kill contract holds; secondary
+    streams' chunks ('01db') are not merged into stream 0's frames."""
+    import struct
+
+    import pytest as _pytest
+
+    truncated = b"RIFF" + struct.pack("<I", 100) + b"AVI " + b"LIST"
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi(truncated)
+    media = spark.createDataFrame(
+        [(1, "mem://t", "video", bytearray(truncated), len(truncated))],
+        "media_id long, uri string, media_type string, payload binary, n_bytes long",
+    )
+    assert multimodal.decode_avi_frames(media).count() == 0
+
+    # splice a second-stream chunk into a valid AVI: it must be ignored
+    frames = [bytes(3 * 4 * 2)]
+    avi = multimodal.encode_avi(4, 2, frames)
+    extra = b"01db" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    movi_at = avi.find(b"movi")
+    spliced = avi[: movi_at + 4] + extra + avi[movi_at + 4 :]
+    # fix up RIFF + movi LIST sizes for the inserted 12 bytes
+    riff_size = struct.unpack_from("<I", spliced, 4)[0] + len(extra)
+    spliced = spliced[:4] + struct.pack("<I", riff_size) + spliced[8:]
+    list_hdr = spliced.rfind(b"LIST", 0, movi_at)
+    list_size = struct.unpack_from("<I", spliced, list_hdr + 4)[0] + len(extra)
+    spliced = (
+        spliced[: list_hdr + 4] + struct.pack("<I", list_size) + spliced[list_hdr + 8 :]
+    )
+    w, h, got = multimodal.decode_avi(spliced)
+    assert (w, h) == (4, 2)
+    assert got == frames  # the 01db chunk did not leak in
