@@ -68,6 +68,21 @@ from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 # window_range_time, variant_ops, recursive_cte, sketch_kmv_setops,
 # dq_audit), which are oracle-paired and driver-sim-green at both
 # sf0.01 and sf0.1 but sit past the window this round.
+#
+# CONCRETE r6 WINDOW PROPOSAL (drawn up end of r5; 17 + 25 + 8 = 50):
+#   17 wave-9 (never driver-checked): the list above;
+#   25 returners (multi-round green, rotated out for r5): tpch_q3,
+#     tpch_q5, corpus_curation, sim_cosine, embed_norm, text_stats,
+#     lang_dist, multimodal_bytes, dedup_exact, ngram_jaccard,
+#     corpus_mixture, pack_next_fit, repetition_stats, vocab_topk,
+#     asof_join_general, sql_api, pivot_unpivot_suite, subquery_suite,
+#     grouping_sets, agg_having, scalar_funcs_suite, date_funcs,
+#     columns_part_suite, distinct_suite, set_ops_suite;
+#   8 holdovers (keep continuous coverage of the flagship + the widest
+#     suites): flagship, books_e2e, stream_windows_suite, winnow_suite,
+#     sampling_suite, tpch_suite3, dedup_invariants, sim_ann_probe.
+# Everything else rotated out will then hold >=1 green row from r5;
+# rotate the single-green r5 window rows back in r7.
 WINDOW: tuple[str, ...] = (
     # headline + TPC-H shapes + the end-to-end reference DAG
     "flagship", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
