@@ -303,6 +303,40 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("doc_id", "batch", "text", "lang")
 
 
+_FUZZY_JOIN_SQL = """
+WITH counts AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY p_name
+),
+names AS (
+  SELECT name, substr(name, length(name) - 2, 3) AS blk FROM counts
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         CAST(levenshtein(a.name, b.name) AS INT) AS dist
+  FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+)
+SELECT p.name_a, p.name_b, p.dist, na.n AS n_a, nb.n AS n_b
+FROM pairs p
+JOIN counts na ON na.name = p.name_a
+JOIN counts nb ON nb.name = p.name_b
+WHERE p.dist BETWEEN 1 AND 3
+"""
+
+
+@register("fuzzy_join", _FUZZY_JOIN_SQL)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join over part names: distinct-name dim →
+    suffix block key → equi-join → Levenshtein 1..3 filter, with fact
+    occurrence counts joined back. The dim-first + blocking design is
+    what keeps edit-distance linkage off the all-pairs cliff at scale;
+    the oracle replays blocking, distance and counts exactly."""
+    from books2scrape_etl_spark.operators.dedupe import fuzzy_name_pairs
+
+    part = read_table(spark, "part", sf_dir)
+    return fuzzy_name_pairs(part, "p_name", block_suffix=3, max_dist=3)
+
+
 _DQ_AUDIT_SQL = """
 SELECT 'null:l_orderkey' AS check_name,
        CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS metric

@@ -351,3 +351,22 @@ def test_audit_no_constraints_raises(spark):
 
     with _pytest.raises(ValueError, match="no constraints"):
         audit(spark.range(3))
+
+
+def test_fuzzy_pairs_blocking_semantics(spark):
+    """Planted typo pairs inside a block are found with the right
+    distance; pairs whose suffix (block key) differs are NOT compared —
+    the documented blocking recall tradeoff."""
+    from books2scrape_etl_spark.operators.dedupe import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "rad bolt"), (3, "red bolt"), (4, "red bont"),
+         (5, "blue gear")],
+        "pk long, name string",
+    )
+    rows = {(r.name_a, r.name_b): r for r in fuzzy_name_pairs(df, "name").collect()}
+    assert rows[("rad bolt", "red bolt")].dist == 1
+    assert rows[("rad bolt", "red bolt")].n_b == 2  # duplicate name counted
+    # 'red bont' ends in 'ont' -> different block than 'olt': never compared
+    assert not any("bont" in a or "bont" in b for a, b in rows)
+    assert not any("gear" in a or "gear" in b for a, b in rows)
