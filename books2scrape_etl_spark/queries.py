@@ -62,15 +62,16 @@ from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 # pivot_unpivot_suite, subquery_suite, grouping_sets, agg_having,
 # scalar_funcs_suite, date_funcs, ...) rotate OUT to the just-past-window
 # oracle-paired block. Rotate them back in round 6 — TOGETHER WITH the
-# 18 late-round-5 wave-9 qnames (sketch_cms, heavy_hitters, lm_quality,
+# 20 late-round-5 wave-9 qnames (sketch_cms, heavy_hitters, lm_quality,
 # token_budget, embed_quantize, funnel_steps, cohort_retention,
 # scan_jsonl, scan_orc, scan_merge_schema, avi_frames, join_bloom,
 # window_range_time, variant_ops, recursive_cte, sketch_kmv_setops,
-# dq_audit, fuzzy_join), which are oracle-paired and driver-sim-green
-# at both sf0.01 and sf0.1 but sit past the window this round.
+# dq_audit, fuzzy_join, outlier_zscore, compact_files), which are
+# oracle-paired and driver-sim-green at both sf0.01 and sf0.1 but sit
+# past the window this round.
 #
-# CONCRETE r6 WINDOW PROPOSAL (drawn up end of r5; 18 + 25 + 7 = 50):
-#   18 wave-9 (never driver-checked): the list above;
+# CONCRETE r6 WINDOW PROPOSAL (drawn up end of r5; 20 + 25 + 5 = 50):
+#   20 wave-9 (never driver-checked): the list above;
 #   25 returners (multi-round green, rotated out for r5): tpch_q3,
 #     tpch_q5, corpus_curation, sim_cosine, embed_norm, text_stats,
 #     lang_dist, multimodal_bytes, dedup_exact, ngram_jaccard,
@@ -78,9 +79,9 @@ from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 #     asof_join_general, sql_api, pivot_unpivot_suite, subquery_suite,
 #     grouping_sets, agg_having, scalar_funcs_suite, date_funcs,
 #     columns_part_suite, distinct_suite, set_ops_suite;
-#   7 holdovers (keep continuous coverage of the flagship + the widest
+#   5 holdovers (keep continuous coverage of the flagship + the widest
 #     suites): flagship, books_e2e, stream_windows_suite, winnow_suite,
-#     sampling_suite, tpch_suite3, dedup_invariants.
+#     sampling_suite.
 # Everything else rotated out will then hold >=1 green row from r5;
 # rotate the single-green r5 window rows back in r7.
 WINDOW: tuple[str, ...] = (

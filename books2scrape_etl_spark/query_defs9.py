@@ -303,6 +303,73 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("doc_id", "batch", "text", "lang")
 
 
+@register(
+    "compact_files",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders",
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round trip: land orders as 64 tiny
+    parquet files (the streaming-landing pathology), compact to 4
+    right-sized ones, and verify the rewrite is content-preserving
+    against the ORIGINAL table — the invariant a maintenance job must
+    never break. File-count mechanics are pinned by a unit test."""
+    import os
+
+    from books2scrape_etl_spark.io import compact_small_files
+
+    base = os.path.join(
+        "/tmp/spark_graft_scratch", f"orders_compact_{os.path.basename(sf_dir)}"
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    src, dst = os.path.join(base, "small"), os.path.join(base, "compacted")
+    read_table(spark, "orders", sf_dir).select(*cols).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return compact_small_files(spark, src, dst, target_files=4)
+
+
+_OUTLIER_SQL = """
+WITH stats AS (
+  SELECT p_brand,
+         COUNT(p_retailprice) AS n,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS s2
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+       round((CAST(p.p_retailprice AS DOUBLE) - s.s1 / s.n) /
+             sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS z,
+       abs((CAST(p.p_retailprice AS DOUBLE) - s.s1 / s.n) /
+           sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.0 AS is_outlier
+FROM part p JOIN stats s ON s.p_brand = p.p_brand
+"""
+
+
+@register("outlier_zscore", _OUTLIER_SQL)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: group stats from
+    decimal-exact moments (the agg_stats formula — order-independent,
+    engine-reproducible, unlike builtin stddev's partition-order double
+    accumulation), broadcast back onto the rows, |z| > 2 flags. The
+    pinned-order IEEE arithmetic makes every z value hash-matchable."""
+    part = read_table(spark, "part", sf_dir)
+    x = F.col("p_retailprice")
+    n = F.count(x)
+    s1 = F.sum(x.cast("decimal(18,2)")).cast("double")
+    s2 = F.sum((x * x).cast("decimal(28,4)")).cast("double")
+    stats = part.groupBy("p_brand").agg(n.alias("n"), s1.alias("s1"), s2.alias("s2"))
+    z = (x.cast("double") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - F.lit(1))
+    )
+    return part.join(F.broadcast(stats), "p_brand").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_outlier"),
+    )
+
+
 _FUZZY_JOIN_SQL = """
 WITH counts AS (
   SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n

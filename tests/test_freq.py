@@ -370,3 +370,19 @@ def test_fuzzy_pairs_blocking_semantics(spark):
     # 'red bont' ends in 'ont' -> different block than 'olt': never compared
     assert not any("bont" in a or "bont" in b for a, b in rows)
     assert not any("gear" in a or "gear" in b for a, b in rows)
+
+
+def test_compact_files_mechanics(spark, sf_dir, tmp_path):
+    """Compaction reduces the file count to the target and preserves
+    row content exactly."""
+    from books2scrape_etl_spark.io import compact_small_files
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(16).write.parquet(src)
+    out = compact_small_files(spark, src, dst, target_files=2)
+    import glob
+
+    assert len(glob.glob(src + "/part-*")) == 16
+    assert len(glob.glob(dst + "/part-*")) == 2
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
