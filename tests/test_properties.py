@@ -218,3 +218,52 @@ def test_chunk_docs_boundary_properties(spark):
                 assert r.n_words == len(expect)
                 covered.update(range(r.chunk_start, r.chunk_start + r.n_words))
             assert covered == set(range(len(words)))
+
+
+@given(
+    st.integers(min_value=2, max_value=64).filter(lambda k: True),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=100, deadline=None)
+def test_solve_bands_properties(num_hashes, threshold):
+    """solve_bands always returns a valid factorization whose S-curve
+    midpoint is the closest achievable to the threshold."""
+    from books2scrape_etl_spark.operators.dedupe import solve_bands
+
+    b, r = solve_bands(threshold, num_hashes)
+    assert b * r == num_hashes
+    mid = (1.0 / b) ** (1.0 / r)
+    for rr in range(1, num_hashes + 1):
+        if num_hashes % rr:
+            continue
+        bb = num_hashes // rr
+        other = (1.0 / bb) ** (1.0 / rr)
+        assert abs(mid - threshold) <= abs(other - threshold) + 1e-12
+
+
+def test_shifted_ngrams_matches_python_reference(spark):
+    """Table-driven property: for 60 seeded random word arrays, the
+    zip-of-shifted-copies n-gram construction equals the obvious
+    Python sliding window, for n in {2,3,4} (incl. arrays shorter
+    than n, which must yield no grams)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.operators.dedupe import shifted_ngrams
+
+    rng = random.Random(20240814)
+    words = [
+        [rng.choice("abcdef") for _ in range(rng.randint(0, 7))] for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i long, w array<string>"
+    )
+    for n in (2, 3, 4):
+        got = {
+            r.i: list(r.g)
+            for r in df.select("i", shifted_ngrams(F.col("w"), n).alias("g")).collect()
+        }
+        for i, w in enumerate(words):
+            expect = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+            assert got[i] == expect, (i, n)
