@@ -577,12 +577,15 @@ def fuzzy_name_pairs(
     space (the same dim-first move as exact_dedup's fingerprint
     grouping).
 
-    Blocking key = the last ``block_suffix`` characters (for
-    compound names the head varies more than the tail); the equi-join
-    on the key replaces the all-pairs cross product, at the standard
-    blocking recall tradeoff: pairs disagreeing in the key are never
-    compared (documented, measurable, and tunable — multi-key blocking
-    unions more passes).
+    Blocking key = the last ``block_suffix`` characters via ``right()``
+    (for compound names the head varies more than the tail) — chosen
+    over negative-start ``substring`` because engines disagree on how
+    a negative start clamps for names shorter than the suffix, while
+    ``right(s, n)`` = "whole string when len < n" everywhere (ADVICE
+    r5). The equi-join on the key replaces the all-pairs cross
+    product, at the standard blocking recall tradeoff: pairs
+    disagreeing in the key are never compared (documented, measurable,
+    and tunable — multi-key blocking unions more passes).
 
     Returns (name_a, name_b, dist, n_a, n_b): distinct name pairs with
     1 <= dist <= max_dist, name_a < name_b, plus each name's fact
@@ -591,7 +594,7 @@ def fuzzy_name_pairs(
     c = to_col(name_col)
     counts = df.groupBy(c.alias("name")).agg(F.count(F.lit(1)).alias("n"))
     names = counts.select(
-        "name", F.substring(F.col("name"), -block_suffix, block_suffix).alias("blk")
+        "name", F.right(F.col("name"), F.lit(block_suffix)).alias("blk")
     )
     a = names.select(F.col("name").alias("name_a"), F.col("blk"))
     b = names.select(F.col("name").alias("name_b"), F.col("blk"))

@@ -132,16 +132,27 @@ def heavy_hitters(
     broken, so it is exposed as data rather than asserted in a test.
     The exact pass shares the token stream with the sketch pass; both
     collapse map-side (groupBy token / groupBy cell).
+
+    The share threshold is compared in exact integer arithmetic:
+    min_share is reduced to a rational num/den and the cut is
+    ``exact_cnt * den >= total * num`` (both BIGINT). Computing
+    ``total * 0.02`` in IEEE double while an oracle computes it in
+    DECIMAL flips membership for counts landing exactly on the
+    boundary — the same boundary-parity bug class as tpch_q2's
+    HALF_UP rounding (ADVICE r5).
     """
+    from fractions import Fraction
+
+    fr = Fraction(min_share).limit_denominator(1_000_000)
     toks = tokens_of(docs, text_col).persist()
     try:
         counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
-        total = counts.agg(F.sum("exact_cnt").alias("n")).select(
-            (F.col("n") * F.lit(min_share)).alias("thresh")
-        )
-        hot = counts.join(F.broadcast(total), F.col("exact_cnt") >= F.col("thresh")).select(
-            "token", "exact_cnt"
-        )
+        total = counts.agg(F.sum("exact_cnt").alias("total"))
+        hot = counts.join(
+            F.broadcast(total),
+            F.col("exact_cnt") * F.lit(fr.denominator)
+            >= F.col("total") * F.lit(fr.numerator),
+        ).select("token", "exact_cnt")
         est = cms_estimate(toks, hot.select("token"), depth, width)
         out = (
             hot.join(est, "token")

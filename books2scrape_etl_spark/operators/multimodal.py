@@ -318,6 +318,16 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
             data_start = pos + 8
+            if data_start + size > len(buf) or data_start + size > end:
+                # A declared chunk size overrunning its container would
+                # otherwise be silently clipped by Python slicing and
+                # emit short frames; corrupt payloads must fail loudly
+                # so the tag-don't-kill wrapper can drop them.
+                raise ValueError(
+                    f"truncated RIFF/AVI payload: chunk {fourcc!r} declares "
+                    f"{size} bytes past offset {data_start}, container ends "
+                    f"at {min(end, len(buf))}"
+                )
             if fourcc == b"LIST":
                 walk(buf, data_start + 4, data_start + size)
             elif fourcc == b"avih":

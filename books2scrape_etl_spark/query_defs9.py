@@ -18,9 +18,10 @@ corpus assembly, and event-funnel analytics.
   time-RANGE frames, VARIANT, WITH RECURSIVE, real AVI frames, KMV
   set algebra, and the Deequ-style ``dq_audit``.
 
-All 17 are oracle-paired; they sit just past the 50-entry driver
-window this round (the window carries the r5 rotation set) and rotate
-in for round 6 alongside the multi-round-green returners.
+All 20 qnames registered by this module are oracle-paired. They sat
+just past the 50-entry driver window in round 5 (the window carried
+the r5 rotation set) and rotate in for round 6 alongside the
+multi-round-green returners.
 """
 
 from __future__ import annotations
@@ -83,15 +84,19 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HH_SHARE = 0.02
+_HH_NUM, _HH_DEN = 1, 50  # _HH_SHARE as an exact rational (1/50)
 
 _HEAVY_SQL = f"""
 WITH {_TOKS_CTE}, {_CMS_CELLS},
 counts AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM t2 GROUP BY token
 ),
-tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) * {_HH_SHARE} AS thresh FROM counts),
+tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS total FROM counts),
 hot AS (
-  SELECT token, exact_cnt FROM counts, tot WHERE exact_cnt >= thresh
+  -- integer-exact share cut: 0.02 = 1/50, so exact_cnt*50 >= total*1
+  -- (BIGINT on both engines; no double/DECIMAL boundary drift)
+  SELECT token, exact_cnt FROM counts, tot
+  WHERE exact_cnt * {_HH_DEN} >= total * {_HH_NUM}
 ),
 probe_cells AS (
   SELECT hot.token, seeds.seed,
@@ -376,7 +381,9 @@ WITH counts AS (
   FROM part GROUP BY p_name
 ),
 names AS (
-  SELECT name, substr(name, length(name) - 2, 3) AS blk FROM counts
+  -- right(name, 3): engine-agnostic suffix key (whole string when
+  -- shorter), matching Spark's F.right — see fuzzy_name_pairs
+  SELECT name, right(name, 3) AS blk FROM counts
 ),
 pairs AS (
   SELECT a.name AS name_a, b.name AS name_b,
@@ -643,9 +650,10 @@ def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_id,
-       CAST(props ->> '$.k' AS INTEGER) AS k_int,
-       CAST(props ->> '$.missing' AS INTEGER) AS k_missing,
-       TRUE AS bad_is_null
+       CAST(CASE WHEN json_valid(props) THEN props ->> '$.k' END AS INTEGER) AS k_int,
+       CAST(CASE WHEN json_valid(props) THEN props ->> '$.missing' END
+            AS INTEGER) AS k_missing,
+       NOT json_valid('{not json') AS bad_is_null
 FROM events
 """
 
@@ -661,8 +669,11 @@ def q_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB)."""
     ev = read_table(spark, "events", sf_dir)
     # try_parse_json on the REAL column: malformed rows become NULL
-    # variants (and NULL extractions), never task failures — matching
-    # the oracle's ->> which also NULLs on bad JSON.
+    # variants (and NULL extractions), never task failures. DuckDB's
+    # ->> ERRORS on malformed VARCHAR JSON, so the oracle guards with
+    # json_valid — the two NULL-on-bad paths then agree. bad_is_null
+    # is each engine's own malformed-literal verdict (try_parse_json
+    # IS NULL vs NOT json_valid), not a hardcoded constant.
     v = F.try_parse_json(F.col("props"))
     return ev.select(
         "event_id",

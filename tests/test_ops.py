@@ -524,6 +524,16 @@ def test_avi_truncated_and_multistream(spark):
     truncated = b"RIFF" + struct.pack("<I", 100) + b"AVI " + b"LIST"
     with _pytest.raises(ValueError):
         multimodal.decode_avi(truncated)
+
+    # a frame chunk whose declared size overruns the buffer must raise,
+    # not silently emit a short frame (ADVICE r5)
+    good = multimodal.encode_avi(4, 2, [bytes(3 * 4 * 2)])
+    db_at = good.find(b"00db")
+    overrun = (
+        good[: db_at + 4] + struct.pack("<I", 10_000) + good[db_at + 8 :]
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_avi(overrun)
     media = spark.createDataFrame(
         [(1, "mem://t", "video", bytearray(truncated), len(truncated))],
         "media_id long, uri string, media_type string, payload binary, n_bytes long",
