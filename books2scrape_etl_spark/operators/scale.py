@@ -201,3 +201,79 @@ def bloom_plan_text(spark, fact: DataFrame, dim: DataFrame, fact_key, dim_key) -
     with _bloom_conf_guard(spark):
         joined = fact.join(dim, to_col(fact_key) == to_col(dim_key))
         return joined._jdf.queryExecution().optimizedPlan().toString()
+
+
+_SKEW_CONFS = {
+    # AQE skew-join handling with thresholds opened up so the split also
+    # fires at test scale (defaults target 256MB+ partitions); the
+    # mechanism — detect an oversized shuffle partition, split it, and
+    # replicate the matching side — is scale-invariant
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    # keep it a sort-merge join: broadcast would dodge the skew entirely
+    # (which is the right call for broadcastable dims — this operator is
+    # for the non-broadcastable case)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def _skew_conf_guard(spark):
+    """Set the AQE skew-join confs, restoring every previous value on
+    exit — shared by the join and its plan-text probe."""
+    prev = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def skew_join(spark, left: DataFrame, right: DataFrame, left_key, right_key) -> DataFrame:
+    """AQE-handled skewed sort-merge join: when one join key dominates,
+    the shuffle puts its rows in one oversized partition and the whole
+    stage waits on that task. AQE's skew-join rule detects the oversized
+    partition at runtime, splits it into advisory-sized slices, and
+    replicates the matching partition of the other side — the built-in
+    runtime alternative to manual salting (:func:`salted_join`), with no
+    key rewrite and no fan-out of the small side to every salt.
+
+    Skew handling is a pure physical optimization (each slice joins
+    against a full copy of its matching partition), so results are
+    bit-identical to the plain join — which is what the oracle pairing
+    checks; the `skew=true` marker on the join node is pinned by a plan
+    test. Confs are session-wide, so the join is materialized eagerly
+    under the conf guard and every previous value restored after.
+
+    Caveat discovered empirically: AQE splits a skewed reduce partition
+    along MAP-OUTPUT block boundaries, so a skewed stage fed by a
+    single map task cannot be split at all (the rule logs 0 skewed
+    partitions despite a max/median ratio in the millions). At cluster
+    scale the fact side always has thousands of mappers; at test scale
+    callers must ensure the skewed input has several partitions (the
+    demo query repartitions its scan first)."""
+    with _skew_conf_guard(spark):
+        joined = left.join(right, to_col(left_key) == to_col(right_key))
+        return joined.localCheckpoint(eager=True)
+
+
+def skew_join_plan_text(spark, left: DataFrame, right: DataFrame, left_key, right_key) -> str:
+    """Final (post-AQE) executed-plan text of the skewed join — requires
+    running the query, since skew handling is a runtime re-plan (for the
+    plan test pinning ``skew=true`` on the SortMergeJoin node)."""
+    with _skew_conf_guard(spark):
+        joined = left.join(right, to_col(left_key) == to_col(right_key))
+        # collect() executes joined's OWN QueryExecution; count() would
+        # build a new one and leave this plan un-replanned (AQE final
+        # plans exist only per-execution)
+        joined.collect()
+        return joined._jdf.queryExecution().executedPlan().toString()

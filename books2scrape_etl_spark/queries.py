@@ -42,6 +42,7 @@ from books2scrape_etl_spark import query_defs6  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs7  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs8  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs10  # noqa: E402,F401  (wraps earlier modules' oracles — keep last)
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -53,75 +54,56 @@ from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-5 rotation (VERDICT r4 item 1): the 22 oracle-paired qnames that
-# had never occupied a driver slot rotate IN; 22 multi-round-green entries
-# (each with >=2 hard driver rows across r1/r2/r4: tpch_q3/q5,
-# corpus_curation, sim_cosine, embed_norm, text_stats, lang_dist,
-# multimodal_bytes, dedup_exact, ngram_jaccard, corpus_mixture,
-# pack_next_fit, repetition_stats, vocab_topk, asof_join_general, sql_api,
-# pivot_unpivot_suite, subquery_suite, grouping_sets, agg_having,
-# scalar_funcs_suite, date_funcs, ...) rotate OUT to the just-past-window
-# oracle-paired block. Rotate them back in round 6 — TOGETHER WITH the
-# 20 late-round-5 wave-9 qnames (sketch_cms, heavy_hitters, lm_quality,
-# token_budget, embed_quantize, funnel_steps, cohort_retention,
-# scan_jsonl, scan_orc, scan_merge_schema, avi_frames, join_bloom,
-# window_range_time, variant_ops, recursive_cte, sketch_kmv_setops,
-# dq_audit, fuzzy_join, outlier_zscore, compact_files), which are
-# oracle-paired and driver-sim-green at both sf0.01 and sf0.1 but sit
-# past the window this round.
+# Round-6 rotation (VERDICT r5 item 1): every wave-9 qname that has
+# never occupied a driver slot rotates IN (21 entries — the 20 from
+# query_defs9 plus multimodal_resize), together with 2 new wave-10
+# rows (join_skew_aqe — the AQE skew-split demo; scale_invariants —
+# the constant-oracle invariant suite that value-verifies
+# bin_quantile_scale / pack_ffd / embed_generate) and 22 returners
+# whose newest green row is r4 or older. Two of the returner slots are
+# new packing suites (agg_olap_suite = rollup+cube+grouping_sets+
+# having; text_suite = text_stats+lang_dist+vocab_topk+
+# repetition_stats), so 8 stale singles refresh through 2 slots.
+# 5 holdovers keep continuous coverage of the flagship and the widest
+# suites. Every r5-green window entry rotates OUT to the
+# just-past-window oracle-paired block (each now holds >=1 hard r5
+# row); rotate them back in r7.
 #
-# CONCRETE r6 WINDOW PROPOSAL (drawn up end of r5; 20 + 25 + 5 = 50):
-#   20 wave-9 (never driver-checked): the list above;
-#   25 returners (multi-round green, rotated out for r5): tpch_q3,
-#     tpch_q5, corpus_curation, sim_cosine, embed_norm, text_stats,
-#     lang_dist, multimodal_bytes, dedup_exact, ngram_jaccard,
-#     corpus_mixture, pack_next_fit, repetition_stats, vocab_topk,
-#     asof_join_general, sql_api, pivot_unpivot_suite, subquery_suite,
-#     grouping_sets, agg_having, scalar_funcs_suite, date_funcs,
-#     columns_part_suite, distinct_suite, set_ops_suite;
-#   5 holdovers (keep continuous coverage of the flagship + the widest
-#     suites): flagship, books_e2e, stream_windows_suite, winnow_suite,
-#     sampling_suite.
-# Everything else rotated out will then hold >=1 green row from r5;
-# rotate the single-green r5 window rows back in r7.
+# After r6 the only oracle-paired qnames with NO green row r5-r6 are
+# ones whose newest evidence is a green r5/r6 SUITE containing them
+# verbatim, plus partition_pruning / array_ops / asof_join_general /
+# tpch_q3 / tpch_q5 (2-3 direct green rows each across r1-r4).
 WINDOW: tuple[str, ...] = (
-    # headline + TPC-H shapes + the end-to-end reference DAG
-    "flagship", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
-    "books_e2e", "corpus_build",
-    # training-data pipeline (sampling / fingerprint / chunking / PII;
-    # sampling_suite = split + shards + stratified + weighted;
-    # winnow_suite = fingerprint + candidates + decontam)
-    "sim_ann_probe", "sampling_suite", "winnow_suite",
-    "chunk_docs", "redact_pii",
-    "weighted_sample", "stratified_sample", "stratified_threshold",
-    "shuffle_shards", "decontaminate",
-    # SQL-surface singles (their wrapping suites are multi-green; the
-    # singles now earn their own driver rows)
-    "pivot", "unpivot", "scalar_subquery", "correlated_subquery",
-    "in_subquery",
-    # joins / windows / scalar-function singles
-    "join_asof", "join_bucketed", "window_lag_lead", "agg_stats",
-    "string_funcs", "math_funcs",
-    # MERGE / streaming join / sketch
-    "scd2_upsert", "stream_join", "sketch_kmv",
-    "udaf_grouped", "grouped_map",
-    "surrogate_key_scale", "join_salted", "explode_split",
-    # r5 additions: TPC-H Q1/Q4/Q6 in one slot, ANN recall floors, the
-    # real image codec's pixel-level check, planted-duplicate invariants
-    # for the approximate dedup family, and the S8 render goldens
-    "tpch_suite", "tpch_suite2", "tpch_suite3", "ann_recall",
-    "multimodal_decode", "dedup_invariants", "report_render",
-    "approx_bounds",
-    # component suites (each packs 2-5 single-operator qnames)
-    # (columns_part_suite / distinct_suite / set_ops_suite /
-    # window_suite / json_map_ops / semi_anti_suite / topk_ordered
-    # rotated out in r5 — each has 2 green rows r2+r4; rotate back
-    # in r6)
-    "columns_lineitem_suite",
-    # consolidated component suites for sources / cleaning / streaming
-    # (array_ops rotated out in r5 — 3 green rows r1/r2/r4)
-    "sources_suite", "clean_suite", "stream_windows_suite",
-    "join_fact", "join_sortmerge",
+    # holdovers: flagship + the end-to-end DAG + the widest suites
+    "flagship", "books_e2e", "stream_windows_suite",
+    "winnow_suite", "sampling_suite",
+    # wave-9 (first driver slots): frequency sketches + corpus scoring
+    "sketch_cms", "heavy_hitters", "lm_quality", "token_budget",
+    "embed_quantize", "sketch_kmv_setops",
+    # wave-9: event analytics
+    "funnel_steps", "cohort_retention",
+    # wave-9: formats / layout / maintenance
+    "scan_jsonl", "scan_orc", "scan_merge_schema", "compact_files",
+    # wave-9: SQL surface + runtime filters + frames
+    "join_bloom", "window_range_time", "variant_ops", "recursive_cte",
+    # wave-9: quality / linkage / outliers / codecs
+    "dq_audit", "fuzzy_join", "outlier_zscore", "avi_frames",
+    "multimodal_resize",
+    # wave-10: invariant suite for the approximate scale operators
+    "scale_invariants",
+    # returners (newest green row r4 or older) — component suites first
+    "columns_part_suite", "distinct_suite", "semi_anti_suite",
+    "set_ops_suite", "window_suite", "topk_ordered", "json_map_ops",
+    "scalar_funcs_suite", "subquery_suite", "pivot_unpivot_suite",
+    "date_funcs", "sql_api",
+    # returners — new packing suites (8 stale singles in 2 slots)
+    "agg_olap_suite", "text_suite",
+    # returners — high-value singles
+    "corpus_curation", "sim_cosine", "embed_norm", "multimodal_bytes",
+    "dedup_exact", "ngram_jaccard", "corpus_mixture", "pack_next_fit",
+    # wave-10 AQE skew join LAST: it (briefly) tunes session AQE confs
+    # under a restore-guard; last-slot placement bounds any interaction
+    "join_skew_aqe",
 )
 
 

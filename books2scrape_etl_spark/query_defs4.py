@@ -551,6 +551,10 @@ _STREAM_JOIN_SQL = """
     SELECT 'star', CAST(3 AS BIGINT), CAST(9 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(2364.04 AS DOUBLE)
+    UNION ALL
+    SELECT 'source', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+           'abc123,def456,ghi789', CAST(9 AS BIGINT),
+           CAST(45 AS DOUBLE)
     """,
 )
 def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +580,15 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       batches (idempotent batch_id-partitioned writes) — golden-pinned
       (3 fact rows, ratings sum 9, inventory value 2364.04, same
       constants as books_e2e).
+    - 'source' (S1-S4 streaming, r6): the Python Data Source books
+      stream (SimpleDataSourceStreamReader, one listing page per
+      micro-batch with checkpointed page offsets) drained and compared
+      against the BATCH read of the same source — k2 is the symmetric
+      difference row count (must be 0: offset replay may neither drop
+      nor duplicate a book), and count / rating sum / stock sum / the
+      sorted UPC list are golden-pinned to the fixture constants. This
+      is the value signal for books_stream_source_rt, which can only
+      ever be rows-only as a single.
     """
     from books2scrape_etl_spark.streaming.windows import (
         stateful_running_max,
@@ -630,7 +643,64 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.col("inv_value").cast("double").alias("v"),
     )
-    return t.union(s).union(d).union(st).union(j).union(star)
+    src = _streamed_books_source_summary(spark).select(
+        F.lit("source").alias("kind"),
+        F.col("n_stream").cast("long").alias("k1"),
+        F.col("n_diff").cast("long").alias("k2"),
+        F.col("upcs").alias("s"),
+        F.col("rating_sum").cast("long").alias("n"),
+        F.col("stock_sum").cast("double").alias("v"),
+    )
+    return t.union(s).union(d).union(st).union(j).union(star).union(src)
+
+
+def _streamed_books_source_summary(spark: SparkSession) -> DataFrame:
+    """Drain the incremental books Data Source stream (one listing page
+    per micro-batch, offsets checkpointed) and reduce it to
+    (n_stream, rating_sum, stock_sum, upcs, n_diff) where n_diff is the
+    full-schema symmetric difference against the batch read of the same
+    source. Exactly-once offset replay is the property under test: a
+    re-read or skipped page changes n_diff/counts away from the fixture
+    goldens."""
+    import os
+    import tempfile
+    import uuid
+
+    from books2scrape_etl_spark.sources.datasource import register_books_source
+
+    register_books_source(spark)
+    name = f"books_src_{uuid.uuid4().hex[:8]}"
+    (
+        spark.readStream.format("books")
+        .option("pages", "2")
+        .option("fixtures", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = spark.table(name)
+    batch = (
+        spark.read.format("books").option("pages", "2").option("fixtures", "true").load()
+    )
+    diff = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff")).withColumn("j", F.lit(1))
+    summ = (
+        streamed.agg(
+            F.count(F.lit(1)).alias("n_stream"),
+            F.sum("Rating").cast("long").alias("rating_sum"),
+            F.sum("No_of_books_in_Stock").cast("double").alias("stock_sum"),
+            F.concat_ws(",", F.array_sort(F.collect_list("UPC"))).alias("upcs"),
+        )
+        .withColumn("j", F.lit(1))
+    )
+    return summ.join(n_diff, "j")
 
 
 def _streamed_books_star_summary(spark: SparkSession) -> DataFrame:

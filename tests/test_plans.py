@@ -206,3 +206,31 @@ def test_bloom_filter_injection(spark, sf_dir):
     plan = bloom_plan_text(spark, li, o, "l_orderkey", "o_orderkey")
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_skew_join_runtime_split(spark, sf_dir):
+    """join_skew_aqe's conf guard must actually trigger AQE's runtime
+    skew split: after execution the SortMergeJoin node carries the
+    skew=true marker and the skewed side reads through an AQEShuffleRead
+    marked 'skewed'. (Result parity with the plain join is the qname's
+    oracle.) The left scan is repartitioned first — skew splitting works
+    along map-output block boundaries, so a single-map-task stage can
+    never split (operators/scale.py:skew_join docstring)."""
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.operators.scale import skew_join_plan_text
+
+    li = read_table(spark, "lineitem", sf_dir).repartition(16)
+    hot = F.when(F.col("l_orderkey") % 10 < 8, F.lit(1)).otherwise(
+        1 + F.col("l_orderkey") % 100
+    )
+    # md5 payload: enough (incompressible) bytes per row that the hot
+    # partition clears the lowered skew threshold even at tiny test SF
+    left = li.select(hot.alias("k"), F.md5(F.col("l_orderkey").cast("string")).alias("pl"))
+    right = read_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("kd"), "s_name"
+    )
+    plan = skew_join_plan_text(spark, left, right, "k", "kd")
+    assert "skew=true" in plan, plan[:2000]
+    assert "skewed" in plan.lower()
