@@ -158,23 +158,7 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     vintage: schema drift in the input must not break the reader."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        # Harmless for micros files (the conf only affects NANOS columns);
-        # required for nanos files, which otherwise fail the scan outright.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            return df.withColumn("ts", _epoch_long_to_ts(df, path))
-        if ts_type == "timestamp_ntz":
-            # micros-NTZ vintage: reinterpret the wall-clock value as UTC so
-            # the epoch matches the nanos-vintage path bit for bit. The cast
-            # resolves against the session TZ at analysis time — pin it here
-            # rather than trusting the caller to have done so.
-            _pin_utc(spark)
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df  # already a session-TZ timestamp — pass through
+        return _read_events_any_vintage(spark, path)
     return spark.read.parquet(path)
 
 
@@ -343,6 +327,54 @@ def compact_small_files(
     df = spark.read.parquet(src_path)
     df.repartition(target_files).write.mode("overwrite").parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+def read_events_landing(spark: SparkSession, root: str) -> DataFrame:
+    """Read an events landing zone whose batches may span PHYSICAL ts
+    vintages (TIMESTAMP(NANOS) rounds <=2, TIMESTAMP(MICROS)-NTZ rounds
+    >=3, raw int64 epochs as a future drift). ``mergeSchema`` cannot
+    reconcile physical drift — the footer merge sees bigint vs
+    timestamp_ntz and fails — so each batch directory goes through the
+    vintage-adaptive events reader (:func:`read_table`'s normalization)
+    FIRST and the union happens on the normalized TimestampType schema.
+    This is the round-3 lesson made structural: a driver testdata
+    re-encode lands as just another vintage in one batch, and the union
+    keeps reading. At scale this is a per-batch footer decision — no
+    data rewrite, no extra shuffle (unionByName is a narrow op)."""
+    batches = sorted(
+        e.path for e in os.scandir(root)
+        if e.is_dir() or e.name.endswith(".parquet")
+    )
+    if not batches:
+        raise ValueError(f"no landed batches under {root}")
+    frames = [_read_events_any_vintage(spark, b) for b in batches]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _read_events_any_vintage(spark: SparkSession, path: str) -> DataFrame:
+    """The vintage-adaptive events scan shared by ``read_table`` and
+    :func:`read_events_landing`. Branch on the dtype the scan actually
+    produced, never on an assumed vintage."""
+    from pyspark.sql import functions as F
+
+    # Harmless for micros files (the conf only affects NANOS columns);
+    # required for nanos files, which otherwise fail the scan outright.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", _epoch_long_to_ts(df, path))
+    if ts_type == "timestamp_ntz":
+        # micros-NTZ vintage: reinterpret the wall-clock value as UTC so
+        # the epoch matches the nanos-vintage path bit for bit. The cast
+        # resolves against the session TZ at analysis time — pin it here
+        # rather than trusting the caller to have done so.
+        _pin_utc(spark)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already a session-TZ timestamp — pass through
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

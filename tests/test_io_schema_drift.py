@@ -112,3 +112,46 @@ def test_driver_testdata_reads_as_timestamp(spark, sf_dir):
     df = read_table(spark, "events", sf_dir)
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.where(F.col("ts").isNull()).limit(1).count() == 0
+
+
+def test_mixed_vintage_landing_union(spark, tmp_path):
+    """A landing zone where batch 1 shipped as TIMESTAMP(NANOS) and
+    batch 2 as TIMESTAMP(MICROS)-NTZ — the realistic drift when the
+    driver re-encodes testdata mid-history (VERDICT r5 item 6).
+    mergeSchema cannot reconcile physical drift (bigint-via-nanosAsLong
+    vs timestamp_ntz), so read_events_landing normalizes each batch
+    through the vintage-adaptive reader BEFORE the union; the result
+    must carry every row of both batches with identical UTC epochs."""
+    from books2scrape_etl_spark.io import read_events_landing
+
+    root = tmp_path / "landing"
+    (root / "b1").mkdir(parents=True)
+    (root / "b2").mkdir()
+    _write_events(str(root / "b1"), pa.array(_INSTANTS, pa.timestamp("ns")))
+    _write_events(str(root / "b2"), pa.array(_INSTANTS, pa.timestamp("us")))
+
+    df = read_events_landing(spark, str(root))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        r[0] for r in df.select(F.unix_micros("ts")).collect()
+    )
+    assert got == sorted(_expected_epochs() * 2)
+
+
+def test_mixed_vintage_landing_compacts_losslessly(spark, tmp_path):
+    """Compacting a mixed-vintage landing zone must preserve every
+    epoch: normalize first (read_events_landing), then the compaction
+    rewrite — the maintenance job a new-vintage drop must survive."""
+    from books2scrape_etl_spark.io import read_events_landing
+
+    root = tmp_path / "landing"
+    (root / "b1").mkdir(parents=True)
+    (root / "b2").mkdir()
+    _write_events(str(root / "b1"), pa.array(_INSTANTS, pa.timestamp("ns")))
+    _write_events(str(root / "b2"), pa.array(_INSTANTS, pa.timestamp("us")))
+
+    dst = str(tmp_path / "compacted")
+    read_events_landing(spark, str(root)).repartition(1).write.parquet(dst)
+    again = spark.read.parquet(dst)
+    got = sorted(r[0] for r in again.select(F.unix_micros("ts")).collect())
+    assert got == sorted(_expected_epochs() * 2)
