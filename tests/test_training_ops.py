@@ -362,3 +362,118 @@ class TestStratifiedThreshold:
         df = spark.createDataFrame([Row(doc_id=i, g=str(i % 3)) for i in range(300)])
         plan = stratified_sample_threshold(df, ["g"], "doc_id", 10)._jdf.queryExecution().toString()
         assert "Window" not in plan  # the whole point of the threshold form
+
+
+def test_zorder_layout_bounds_worst_case_probe(spark):
+    """The point of the Morton key: min-max data skipping. On a
+    single-column (x) sorted layout, a probe on the OTHER dimension
+    touches every partition (each spans the full y range); z-order
+    bounds the worst single-dimension probe at roughly sqrt of the
+    partition count on both dimensions. Measured as partitions whose
+    [min, max] box contains the probe value — exactly the file-skipping
+    decision parquet min-max stats drive. (Bounding-box VOLUME is the
+    wrong metric: on uniformly-filling data the summed volume equals
+    the grid for any layout.)"""
+    from books2scrape_etl_spark.query_defs11 import morton_col
+
+    # deterministic full 256x256 grid
+    g = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("long").alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    k = g.withColumn("zval", morton_col(F.col("x"), F.col("y")))
+
+    # exact equal-width range buckets (repartitionByRange SAMPLES its
+    # boundaries, smearing boxes across quadrant edges): 8 files along
+    # the sort key, the OPTIMIZE ZORDER write pattern
+    def boxes(df, key, key_max):
+        return (
+            df.withColumn("pid", (F.col(key) * 8 / (key_max + 1)).cast("int"))
+            .groupBy("pid")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+
+    def touched(bs, dim, v):
+        lo, hi = (("x0", "x1") if dim == "x" else ("y0", "y1"))
+        return sum(1 for b in bs if b[lo] <= v <= b[hi])
+
+    bz = boxes(k, "zval", 256 * 256 - 1)
+    bx = boxes(k, "x", 255)
+    worst_z = max(touched(bz, "x", 131), touched(bz, "y", 131))
+    worst_x = max(touched(bx, "x", 131), touched(bx, "y", 131))
+    assert worst_x == 8  # x-sorted: y probes touch everything
+    assert worst_z <= 4, [tuple(b) for b in bz]  # z: both dims bounded
+
+
+def test_morton_key_roundtrip_bits():
+    """zval interleaves bits exactly: de-interleaving recovers (x, y)
+    for the corner and mid-range values."""
+    from books2scrape_etl_spark.query_defs11 import _Z_BITS
+
+    def morton_py(x, y):
+        z = 0
+        for i in range(_Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    from books2scrape_etl_spark.query_defs11 import morton_col
+    from pyspark.sql import Row
+
+    vals = [(0, 0), (1023, 1023), (1, 0), (0, 1), (513, 274), (999, 2)]
+    # spark evaluation must agree with the reference python interleave
+    import books2scrape_etl_spark.session as sess
+
+    spark = sess.get_spark()
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in vals])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", morton_col(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in vals:
+        assert got[(x, y)] == morton_py(x, y), (x, y)
+
+
+def test_ewma_weights_and_window_edge(spark):
+    """ewma_num over a single-user stream: with fewer events than the
+    window, the weight prefix is truncated newest-first (weight 1.0 on
+    the current row); hand-computed oracle on 3 events."""
+    from books2scrape_etl_spark.queries import QUERIES
+    import tempfile, os
+    from pyspark.sql import Row
+    import datetime as dt
+
+    d = tempfile.mkdtemp()
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, 0, 0, i), user_id=1,
+            event_type="click", value=float(v), props="{}")
+        for i, v in enumerate([2.0, 4.0, 8.0])
+    ]
+    spark.createDataFrame(rows).write.parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_id"]: r["ewma_num"] for r in QUERIES["ewma_decay"](spark, d).collect()}
+    a = 0.9
+    assert out[0] == 2.0
+    assert out[1] == 4.0 * 1.0 + 2.0 * a
+    assert out[2] == 8.0 * 1.0 + 4.0 * a + 2.0 * (a * a)
+
+
+def test_snapshot_cdc_classification(spark, sf_dir):
+    """Every change row classifies consistently: D rows have no new
+    values, I rows no old values, U rows differ in at least one field."""
+    from books2scrape_etl_spark.queries import QUERIES
+
+    cdc = QUERIES["snapshot_cdc"](spark, sf_dir)
+    bad_d = cdc.where((F.col("change_type") == "D") & F.col("new_totalprice").isNotNull())
+    bad_i = cdc.where((F.col("change_type") == "I") & F.col("old_totalprice").isNotNull())
+    bad_u = cdc.where(
+        (F.col("change_type") == "U")
+        & (F.col("old_totalprice") == F.col("new_totalprice"))
+        & (F.col("old_status") == F.col("new_status"))
+    )
+    assert bad_d.count() == 0 and bad_i.count() == 0 and bad_u.count() == 0
+    kinds = {r["change_type"] for r in cdc.select("change_type").distinct().collect()}
+    assert kinds == {"I", "U", "D"}
