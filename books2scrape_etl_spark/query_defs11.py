@@ -535,3 +535,81 @@ def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_window"),
         num.alias("ewma_num"),
     )
+
+
+# ---------------------------------------------------------------------
+# tokenize_ids — vocabulary application: text -> token-id sequences
+# ---------------------------------------------------------------------
+
+_TOKENIZE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token,
+         generate_subscripts(string_split({_NORM_SQL}, ' '), 1) AS pos
+  FROM documents
+),
+t2 AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t2 GROUP BY token
+),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS tok_id
+  FROM counts QUALIFY tok_id <= 100
+),
+ids AS (
+  SELECT t2.doc_id, t2.pos, COALESCE(vocab.tok_id, 0) AS tok_id
+  FROM t2 LEFT JOIN vocab USING (token)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN tok_id = 0 THEN 1 END) AS BIGINT) AS n_unk,
+       array_to_string(list(tok_id ORDER BY pos), ',') AS ids_str
+FROM ids GROUP BY doc_id
+"""
+
+
+@register("tokenize_ids", _TOKENIZE_SQL)
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application — the tokenizer stage between vocab
+    training (vocab_topk) and sequence packing (pack_next_fit): map
+    each document's token stream to ids from the top-100 frequency
+    vocabulary (rank order, deterministic count-desc/token-asc
+    tiebreak), OOV -> id 0, preserving POSITION order. The id sequence
+    itself is the value-matched result (comma-joined), plus token and
+    UNK counts.
+
+    Plan shape: posexplode keeps token positions without a window; the
+    vocab is rank-the-top-k (TakeOrderedAndProject) and broadcasts to
+    the token stream, so the only wide operation is the per-doc
+    regroup — which carries (doc_id, pos, id) longs, never text. The
+    in-order reassembly is sort_array(collect_list(struct(pos, id)))
+    inside one aggregate: ordering rides the struct sort, not a
+    window."""
+    from books2scrape_etl_spark.operators.text import normalize_for_fingerprint
+
+    docs = read_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalize_for_fingerprint(F.col("text")), " ")
+        ).alias("pos0", "token"),
+    ).where(F.col("token") != "")
+    # 1-based positions to match generate_subscripts
+    t2 = toks.select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+    counts = t2.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = topk_with_rank(
+        counts, (F.col("cnt").desc(), F.col("token").asc()), 100, rank_col="tok_id"
+    ).select("token", F.col("tok_id").cast("long").alias("tok_id"))
+    ids = t2.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tok_id"))),
+        lambda s: s["tok_id"].cast("string"),
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("tok_id") == 0, 1)).alias("n_unk"),
+        F.concat_ws(",", seq).alias("ids_str"),
+    )

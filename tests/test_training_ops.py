@@ -477,3 +477,26 @@ def test_snapshot_cdc_classification(spark, sf_dir):
     assert bad_d.count() == 0 and bad_i.count() == 0 and bad_u.count() == 0
     kinds = {r["change_type"] for r in cdc.select("change_type").distinct().collect()}
     assert kinds == {"I", "U", "D"}
+
+
+def test_tokenize_ids_position_order(spark, tmp_path):
+    """id sequences preserve token POSITION order (not alphabetical or
+    hash order), and OOV maps to 0: crafted 2-doc corpus where the
+    frequency ranking and positions disagree everywhere."""
+    import os
+    from pyspark.sql import Row
+
+    from books2scrape_etl_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    rows = [
+        Row(doc_id=0, text="bb aa bb cc bb aa", lang="en", source="t", n_chars=17),
+        Row(doc_id=1, text="aa zz bb", lang="en", source="t", n_chars=8),
+    ]
+    spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["tokenize_ids"](spark, d).collect()}
+    # counts: bb=4 -> id 1, aa=3 -> id 2, cc=1 -> id 3, zz=1 -> id 4
+    # (count desc, token asc tiebreak: cc before zz)
+    assert out[0]["ids_str"] == "1,2,1,3,1,2"
+    assert out[1]["ids_str"] == "2,4,1"
+    assert out[0]["n_unk"] == 0 and out[0]["n_tokens"] == 6
