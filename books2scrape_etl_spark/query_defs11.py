@@ -613,3 +613,91 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("tok_id") == 0, 1)).alias("n_unk"),
         F.concat_ws(",", seq).alias("ids_str"),
     )
+
+
+# ---------------------------------------------------------------------
+# graph analytics: degree distribution (oracle-paired) + PageRank
+# invariants (constant oracle — float iteration is not bit-portable)
+# ---------------------------------------------------------------------
+
+_GRAPH_DEGREE_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY deg
+"""
+
+
+@register("graph_degree", _GRAPH_DEGREE_SQL)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the customer→supplier purchase graph
+    (how many suppliers each customer buys from) — the profiling query
+    that precedes any graph algorithm: it is what tells you whether
+    PageRank/CC will meet a power-law hub that needs skew handling.
+    Plan: distinct edge build (one shuffle) → two map-side-collapsing
+    aggregates."""
+    from books2scrape_etl_spark.operators.graph import purchase_edges
+
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    e = purchase_edges(orders, li)
+    d = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return d.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_PAGERANK_INVARIANTS_SQL = """
+SELECT 'sum_to_one' AS check_name, TRUE AS ok
+UNION ALL SELECT 'all_positive', TRUE
+UNION ALL SELECT 'suppliers_hold_link_mass', TRUE
+"""
+
+
+@register("pagerank_invariants", _PAGERANK_INVARIANTS_SQL)
+def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier graph, verified through its
+    mathematical invariants (the ann_recall pattern — float iteration
+    order is not bit-portable, so values can't hash-match an
+    independent engine):
+
+    - sum_to_one: total rank mass conserved to 1e-9 after 10 rounds
+      (teleport + dangling redistribution must exactly rebalance);
+    - all_positive: teleport floor keeps every rank > 0;
+    - suppliers_hold_link_mass: every edge points cust→supp, so ANY
+      supplier's rank (teleport + dangling share + link mass) must
+      exceed EVERY customer's (teleport + dangling share only) —
+      min(supplier) > max(customer), a sharp structural property of
+      the directed bipartite graph.
+
+    A NumPy reference fixed-point comparison lives in the unit tests."""
+    from books2scrape_etl_spark.operators.graph import pagerank, purchase_edges
+
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    pr = pagerank(purchase_edges(orders, li), iterations=10)
+    agg = pr.agg(
+        F.sum("pr").alias("s"),
+        F.min("pr").alias("mn"),
+        F.min(F.when(F.col("node") < 0, F.col("pr"))).alias("min_supp"),
+        F.max(F.when(F.col("node") >= 0, F.col("pr"))).alias("max_cust"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sum_to_one").alias("check_name"),
+                    (F.abs(F.col("s") - 1.0) < 1e-9).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("all_positive").alias("check_name"),
+                    (F.col("mn") > 0.0).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("suppliers_hold_link_mass").alias("check_name"),
+                    (F.col("min_supp") > F.col("max_cust")).alias("ok"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.ok")
