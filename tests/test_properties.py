@@ -267,3 +267,88 @@ def test_shifted_ngrams_matches_python_reference(spark):
         for i, w in enumerate(words):
             expect = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
             assert got[i] == expect, (i, n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+def test_morton_interleave_bijective_and_monotone_prefix(x, y):
+    """Python reference of the Morton rule used by zorder_cluster:
+    interleave is a bijection on 10-bit pairs, and sharing a high-bit
+    prefix in BOTH dims implies sharing the z prefix (the property
+    min-max pruning relies on)."""
+
+    def morton(a, b):
+        z = 0
+        for i in range(10):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    z = morton(x, y)
+    # de-interleave recovers the pair (bijectivity)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+    assert (rx, ry) == (x, y)
+    # same top-k bits in both dims -> same top-2k bits of z: zeroing
+    # the low bits of x and y must not change the z prefix
+    for k in (1, 2, 5):
+        z_prefix = z >> (2 * (10 - k))
+        masked = morton(
+            (x >> (10 - k)) << (10 - k), (y >> (10 - k)) << (10 - k)
+        ) >> (2 * (10 - k))
+        assert z_prefix == masked
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ewma_reference_recurrence(values):
+    """The windowed literal-weight fold equals the direct python sum
+    value_i * 0.9^age over the trailing-10 window at every position."""
+    a, n = 0.9, 10
+    weights = [a**j for j in range(n)]
+    for pos in range(len(values)):
+        window = values[max(0, pos - n + 1) : pos + 1]
+        rev = list(reversed(window))
+        expect = 0.0
+        for j, v in enumerate(rev):
+            expect = expect + v * weights[j]
+        # replay the Spark fold: reverse -> zip with weight prefix -> sum
+        acc = 0.0
+        for v, w in zip(rev, weights[: len(rev)]):
+            acc = acc + v * w
+        assert acc == expect
+
+
+def test_snapshot_cdc_keys_partition(spark, sf_dir):
+    """CDC change keys are consistent with the derivation rules: every
+    deleted key is %97==0, every inserted key is >= 10M and maps back
+    to a %13==5 source key, and no key appears under two change
+    types."""
+    from collections import Counter
+
+    from books2scrape_etl_spark.queries import QUERIES
+
+    rows = QUERIES["snapshot_cdc"](spark, sf_dir).collect()
+    kinds = Counter()
+    seen = Counter()
+    for r in rows:
+        kinds[r["change_type"]] += 1
+        seen[r["o_orderkey"]] += 1
+        if r["change_type"] == "D":
+            assert r["o_orderkey"] % 97 == 0
+        if r["change_type"] == "I":
+            assert r["o_orderkey"] >= 10_000_000
+            assert (r["o_orderkey"] - 10_000_000) % 13 == 5
+        if r["change_type"] == "U":
+            assert r["o_orderkey"] % 7 == 3 and r["o_orderkey"] % 97 != 0
+    assert max(seen.values()) == 1  # each key classified once
+    assert set(kinds) == {"I", "U", "D"}
