@@ -701,3 +701,70 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.check_name", "r.ok")
+
+
+_ALS_INVARIANTS_SQL = """
+SELECT 'rmse_beats_mean_baseline' AS check_name, TRUE AS ok
+UNION ALL SELECT 'predictions_finite', TRUE
+UNION ALL SELECT 'full_coverage', TRUE
+"""
+
+
+@register("als_invariants", _ALS_INVARIANTS_SQL)
+def q_als_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization on the customer×supplier purchase
+    counts, verified through fit invariants (the pagerank pattern —
+    seeded float iteration is not bit-portable):
+
+    - rmse_beats_mean_baseline: training RMSE of the rank-8 factor
+      model must beat the global-mean predictor (if a factorization
+      cannot out-fit one constant ON ITS OWN TRAINING DATA, training
+      is broken);
+    - predictions_finite: no NaN/Inf predictions survive;
+    - full_coverage: every training pair gets a prediction
+      (coldStartStrategy cannot drop in-sample rows).
+
+    Training is JVM-side spark.ml; the invariants are one aggregate
+    over the transformed training frame."""
+    from books2scrape_etl_spark.operators.recommend import (
+        als_fit_predict,
+        purchase_ratings,
+    )
+
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    ratings = purchase_ratings(orders, li).localCheckpoint(eager=True)
+    pred = als_fit_predict(ratings)
+    n_ratings = ratings.count()
+    err = F.col("prediction") - F.col("rating")
+    agg = pred.agg(
+        F.avg(err * err).alias("mse_model"),
+        F.avg(F.col("rating")).alias("mean_r"),
+        F.avg(F.col("rating") * F.col("rating")).alias("mean_r2"),
+        F.count(F.lit(1)).alias("n_pred"),
+        F.max(
+            (F.isnan("prediction") | F.col("prediction").isNull()).cast("int")
+        ).alias("any_bad"),
+    )
+    # var(rating) = E[r^2] - E[r]^2 is the mean-predictor MSE
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("rmse_beats_mean_baseline").alias("check_name"),
+                    (
+                        F.col("mse_model")
+                        < F.col("mean_r2") - F.col("mean_r") * F.col("mean_r")
+                    ).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("predictions_finite").alias("check_name"),
+                    (F.col("any_bad") == 0).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("full_coverage").alias("check_name"),
+                    (F.col("n_pred") == F.lit(n_ratings)).alias("ok"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.ok")

@@ -548,3 +548,28 @@ def test_pagerank_empty_and_chain(spark):
     chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {r["node"]: r["pr"] for r in pagerank(chain, iterations=20).collect()}
     assert got[0] < got[1] < got[2]
+
+
+def test_als_recovers_low_rank_structure(spark):
+    """ALS on an exactly rank-1 rating matrix (r_ij = u_i * v_j) must
+    reconstruct it almost perfectly — train RMSE << rating scale —
+    and the invariant margin (model MSE < variance) must be wide."""
+    from pyspark.sql import Row
+
+    from books2scrape_etl_spark.operators.recommend import als_fit_predict
+
+    u = [1.0, 2.0, 3.0, 4.0, 5.0, 1.5, 2.5, 3.5]
+    v = [1.0, 0.5, 2.0, 1.5, 0.8, 1.2]
+    rows = [
+        Row(user=i, item=j, rating=float(u[i] * v[j]))
+        for i in range(len(u))
+        for j in range(len(v))
+    ]
+    ratings = spark.createDataFrame(rows)
+    pred = als_fit_predict(ratings, rank=2, max_iter=15, reg=0.001)
+    stats = pred.agg(
+        F.avg((F.col("prediction") - F.col("rating")) ** 2).alias("mse"),
+        F.variance("rating").alias("var"),
+    ).collect()[0]
+    assert stats["mse"] < 0.01, stats
+    assert stats["mse"] < stats["var"] * 0.05
