@@ -76,13 +76,16 @@ from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
 # tpch_q3 / tpch_q5 (2-3 direct green rows each across r1-r4).
 #
 # r7 ROTATION PLAN: swap the r6-green window rows out and swap in the
-# wave-11 additions (tfidf_bm25, snapshot_cdc, group_percentiles,
-# bpe_pairs, zorder_cluster, ewma_decay, tokenize_ids — all
-# driver-sim green at sf0.01 AND sf0.1 this round but past the
-# window), plus the r5-single-green rows (tpch_q10/q12/q14/q18,
-# pivot, unpivot, subquery singles, string_funcs, math_funcs,
-# sampling singles) and any returners still on r<=4 evidence
-# (partition_pruning, array_ops, asof_join_general, tpch_q3/q5).
+# round-6 late additions (tfidf_bm25, snapshot_cdc, group_percentiles,
+# bpe_pairs, zorder_cluster, ewma_decay, tokenize_ids, graph_degree,
+# pagerank_invariants, als_invariants — all driver-sim green at
+# sf0.01 AND sf0.1 this round but past the window), plus the
+# r5-single-green rows (tpch_q10/q12/q14/q18, pivot, unpivot,
+# subquery singles, string_funcs, math_funcs, sampling singles) and
+# any returners still on r<=4 evidence (partition_pruning, array_ops,
+# asof_join_general, tpch_q3/q5). Note pagerank_invariants costs
+# ~11-22 s per run (10 training rounds with per-round actions) —
+# budget its slot accordingly.
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the widest suites
     "flagship", "books_e2e", "stream_windows_suite",
