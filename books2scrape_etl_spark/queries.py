@@ -78,7 +78,7 @@ from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
 # r7 ROTATION PLAN: swap the r6-green window rows out and swap in the
 # round-6 late additions (tfidf_bm25, snapshot_cdc, group_percentiles,
 # bpe_pairs, zorder_cluster, ewma_decay, tokenize_ids, graph_degree,
-# pagerank_invariants, als_invariants — all driver-sim green at
+# pagerank_invariants, als_invariants, window_hopping — all driver-sim green at
 # sf0.01 AND sf0.1 this round but past the window), plus the
 # r5-single-green rows (tpch_q10/q12/q14/q18, pivot, unpivot,
 # subquery singles, string_funcs, math_funcs, sampling singles) and

@@ -768,3 +768,38 @@ def q_als_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.check_name", "r.ok")
+
+
+_HOPPING_SQL = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events
+),
+x AS (
+  SELECT es, event_type, value, (es - es % 600) - 600 * k AS window_start
+  FROM e CROSS JOIN unnest([0, 1, 2]) AS t(k)
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM x
+WHERE es >= window_start AND es < window_start + 1800
+GROUP BY 1, 2
+"""
+
+
+@register("window_hopping", _HOPPING_SQL)
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2b — hopping/sliding event-time windows (30-minute size, 10-
+    minute slide): the overlapping-window shape between tumbling (T2)
+    and RANGE frames (window_range_time). Spark's F.window(size,
+    slide) assigns each event to size/slide windows; the oracle
+    replays the assignment by expanding each event into its 3 aligned
+    window starts (integer epoch arithmetic — second-floor cannot
+    cross a 600s boundary, so membership is truncation-safe). Window
+    starts surface as epoch longs, TZ-free on both engines."""
+    from books2scrape_etl_spark.query_defs import _utc
+    from books2scrape_etl_spark.streaming import windows as stream_ops
+
+    _utc(spark)
+    ev = read_table(spark, "events", sf_dir)
+    return stream_ops.hopping_counts_batch(ev, minutes=30, slide_minutes=10)

@@ -45,6 +45,32 @@ def tumbling_counts_batch(events: DataFrame, minutes: int = 10) -> DataFrame:
     )
 
 
+def hopping_counts_batch(
+    events: DataFrame, minutes: int = 30, slide_minutes: int = 10
+) -> DataFrame:
+    """T2b — hopping (sliding) windows via F.window(size, slide): each
+    event lands in size/slide overlapping windows, the shape behind
+    trailing-30-minutes-updated-every-10 dashboards. Uses the REAL
+    window expression (identical under readStream); start surfaced as
+    an epoch long (TZ-free). State per key is size/slide concurrent
+    windows — bounded, watermark-evictable; the fan-out is a generator
+    inside the aggregate, never a stored copy of the input."""
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def tumbling_counts_window(events: DataFrame, minutes: int = 10) -> DataFrame:
     """T2 via F.window — the form that runs identically under
     readStream; window start/end surfaced as epoch longs (TZ-free)."""
