@@ -341,9 +341,14 @@ def read_events_landing(spark: SparkSession, root: str) -> DataFrame:
     re-encode lands as just another vintage in one batch, and the union
     keeps reading. At scale this is a per-batch footer decision — no
     data rewrite, no extra shuffle (unionByName is a narrow op)."""
+    # Skip writer metadata/staging entries (_temporary, .spark-staging,
+    # _delta_log, _SUCCESS, .crc) — the same leading '_'/'.' convention
+    # Spark's own file index uses. Reading those as batches would fail
+    # the scan or duplicate data in a real landing zone (ADVICE r6).
     batches = sorted(
         e.path for e in os.scandir(root)
-        if e.is_dir() or e.name.endswith(".parquet")
+        if not e.name.startswith(("_", "."))
+        and (e.is_dir() or e.name.endswith(".parquet"))
     )
     if not batches:
         raise ValueError(f"no landed batches under {root}")

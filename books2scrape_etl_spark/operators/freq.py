@@ -144,6 +144,26 @@ def heavy_hitters(
     from fractions import Fraction
 
     fr = Fraction(min_share).limit_denominator(1_000_000)
+    # min_share must survive rationalization (ADVICE r6): a share below
+    # ~1/2e6 collapses to 0/1 — every token becomes a heavy hitter —
+    # and a non-representable share silently cuts at a different
+    # boundary than the caller asked for. Fail loudly on the zero case
+    # and on any drift beyond one part per million of the requested
+    # share; callers needing finer thresholds should pass an exactly
+    # representable rational (e.g. 1/50 = 0.02).
+    # (an explicit min_share=0.0 stays legal — "keep every token" is a
+    # deliberate calibration mode the unit tests use)
+    if fr.numerator == 0 and min_share > 0:
+        raise ValueError(
+            f"min_share={min_share!r} rationalizes to 0 within "
+            "limit_denominator(1_000_000); every token would qualify"
+        )
+    if min_share > 0 and abs(float(fr) - min_share) > min_share * 1e-6:
+        raise ValueError(
+            f"min_share={min_share!r} is not representable within "
+            f"limit_denominator(1_000_000) (got {fr}); pass an exact "
+            "rational like 0.02 == 1/50"
+        )
     toks = tokens_of(docs, text_col).persist()
     try:
         counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))

@@ -141,34 +141,13 @@ def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
     )
     v2 = survivors.unionByName(inserts)
-    a = v1.select(
-        F.col("o_orderkey").alias("k1"),
-        F.col("o_totalprice").alias("old_totalprice"),
-        F.col("o_orderstatus").alias("old_status"),
-    )
-    b = v2.select(
-        F.col("o_orderkey").alias("k2"),
-        F.col("o_totalprice").alias("new_totalprice"),
-        F.col("o_orderstatus").alias("new_status"),
-    )
-    j = a.join(b, F.col("k1") == F.col("k2"), "full_outer")
-    change = (
-        F.when(F.col("k1").isNull(), "I")
-        .when(F.col("k2").isNull(), "D")
-        .otherwise("U")
-    )
-    return j.select(
-        F.coalesce("k1", "k2").alias("o_orderkey"),
-        change.alias("change_type"),
-        "old_totalprice",
-        "new_totalprice",
-        "old_status",
-        "new_status",
-    ).where(
-        F.col("k1").isNull()
-        | F.col("k2").isNull()
-        | (F.col("old_totalprice") != F.col("new_totalprice"))
-        | (F.col("old_status") != F.col("new_status"))
+    from books2scrape_etl_spark.operators.scd import snapshot_diff
+
+    return snapshot_diff(
+        v1,
+        v2,
+        key="o_orderkey",
+        compare_cols=[("o_totalprice", "totalprice"), ("o_orderstatus", "status")],
     )
 
 
@@ -290,17 +269,37 @@ def q_tfidf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-joins into the ln table, then one broadcast crossJoin onto
     # the per-(doc, token) rows — a BroadcastNestedLoopJoin of a 1-row
     # side, NOT a CartesianProduct (a literal-j equi-join constant-folds
-    # into exactly that and trips the registry plan lint)
+    # into exactly that and trips the registry plan lint).
+    # LEFT joins + in-plan raise_error (ADVICE r6): an INNER join of a
+    # corpus larger than _IDF_TABLE_MAX would drop the scalar row and
+    # silently empty the whole result (and the oracle would go empty
+    # the same way — a vacuous hash pass). The left form keeps the
+    # 1-row frame alive and fails the job loudly instead.
+    def _ln_or_fail(which: str) -> F.Column:
+        return F.when(
+            (F.col("n_docs") >= 1) & F.col("ln_i").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"tfidf_bm25: corpus size for {which} exceeds "
+                        f"_IDF_TABLE_MAX={_IDF_TABLE_MAX}; n_docs="
+                    ),
+                    F.col("n_docs").cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("ln_i"))
+
     scal = (
-        stats.join(F.broadcast(lns), F.col("i") == F.col("n_docs"))
-        .select("n_docs", "total_len", F.col("ln_i").alias("ln_n"))
+        stats.join(F.broadcast(lns), F.col("i") == F.col("n_docs"), "left")
+        .select("n_docs", "total_len", _ln_or_fail("ln(N)").alias("ln_n"))
         .join(
-            F.broadcast(
-                lns.select(F.col("i").alias("i2"), F.col("ln_i").alias("ln_n1"))
-            ),
-            F.col("i2") == F.col("n_docs") + 1,
+            F.broadcast(lns.select(F.col("i").alias("i"), F.col("ln_i"))),
+            F.col("i") == F.col("n_docs") + 1,
+            "left",
         )
-        .select("n_docs", "total_len", "ln_n", "ln_n1")
+        .select(
+            "n_docs", "total_len", "ln_n", _ln_or_fail("ln(N+1)").alias("ln_n1")
+        )
     )
     dfq = (
         tf.groupBy("token")
@@ -662,7 +661,7 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is not bit-portable, so values can't hash-match an
     independent engine):
 
-    - sum_to_one: total rank mass conserved to 1e-9 after 10 rounds
+    - sum_to_one: total rank mass conserved to 1e-9 after 5 rounds
       (teleport + dangling redistribution must exactly rebalance);
     - all_positive: teleport floor keeps every rank > 0;
     - suppliers_hold_link_mass: every edge points cust→supp, so ANY
@@ -676,7 +675,13 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, "orders", sf_dir)
     li = read_table(spark, "lineitem", sf_dir)
-    pr = pagerank(purchase_edges(orders, li), iterations=10)
+    # 5 rounds, not 10 (VERDICT r6 item 2): the three invariants hold
+    # after ANY round count — mass conservation is per-round exact,
+    # positivity is the teleport floor, and the bipartite ordering
+    # appears from round 1 — so the driver row buys nothing from the
+    # extra 5 dangling-scalar actions (~5-11 s). The NumPy fixed-point
+    # parity test in tests/ still runs the full 10.
+    pr = pagerank(purchase_edges(orders, li), iterations=5)
     agg = pr.agg(
         F.sum("pr").alias("s"),
         F.min("pr").alias("mn"),

@@ -670,22 +670,27 @@ def _streamed_books_source_summary(spark: SparkSession) -> DataFrame:
 
     register_books_source(spark)
     name = f"books_src_{uuid.uuid4().hex[:8]}"
-    (
-        spark.readStream.format("books")
-        .option("pages", "2")
-        .option("fixtures", "true")
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+    # Checkpoint in a TemporaryDirectory removed after drain, and drop
+    # the memory-sink table once its rows are pinned by an eager
+    # localCheckpoint — otherwise every suite run leaks one ckpt dir
+    # and one registered table (ADVICE r6). The checkpoint must
+    # outlive awaitTermination only; the memory table must outlive the
+    # localCheckpoint action only.
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        (
+            spark.readStream.format("books")
+            .option("pages", "2")
+            .option("fixtures", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "offsets"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    streamed = spark.table(name)
+        streamed = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
     batch = (
         spark.read.format("books").option("pages", "2").option("fixtures", "true").load()
     )
@@ -711,20 +716,23 @@ def _streamed_books_star_summary(spark: SparkSession) -> DataFrame:
     golden fixture constants."""
     import os
     import tempfile
-    import uuid
 
     from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
     from books2scrape_etl_spark.sources.scrape import html_source, parse_books
     from books2scrape_etl_spark.streaming.pipeline import streaming_books_star
 
-    landing = os.path.join(tempfile.gettempdir(), f"books_landing_{uuid.uuid4().hex[:8]}")
-    parse_books(html_source(spark, DETAIL_PAGES)).repartition(2).write.parquet(landing)
-    fact = streaming_books_star(spark, landing)
-    return fact.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("Rating").cast("long").alias("rating_sum"),
-        F.round(F.sum(F.col("`Inventory Value`")), 2).alias("inv_value"),
-    )
+    # Same leak class as the source summary (ADVICE r6): landing and
+    # sink dirs live only for this drain. The 1-row aggregate is pinned
+    # eagerly before the dirs vanish.
+    with tempfile.TemporaryDirectory(prefix="books_landing_") as tmp:
+        landing = os.path.join(tmp, "landing")
+        parse_books(html_source(spark, DETAIL_PAGES)).repartition(2).write.parquet(landing)
+        fact = streaming_books_star(spark, landing, out_dir=os.path.join(tmp, "sink"))
+        return fact.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("Rating").cast("long").alias("rating_sum"),
+            F.round(F.sum(F.col("`Inventory Value`")), 2).alias("inv_value"),
+        ).localCheckpoint(eager=True)
 
 
 @register(

@@ -386,3 +386,18 @@ def test_compact_files_mechanics(spark, sf_dir, tmp_path):
     assert len(glob.glob(src + "/part-*")) == 16
     assert len(glob.glob(dst + "/part-*")) == 2
     assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_heavy_hitters_rejects_degenerate_min_share(spark):
+    """ADVICE r6: a share that rationalizes to 0/1 within
+    limit_denominator(1_000_000) would make EVERY token a heavy hitter;
+    non-representable shares would cut at a different boundary than
+    requested. Both must raise, and the representable default passes."""
+    docs = _docs(spark, ["a b c", "a a"])
+    with pytest.raises(ValueError, match="rationalizes to 0"):
+        freq.heavy_hitters(docs, min_share=1e-9)
+    # 6e-7 snaps to 1/1000000 — a 67% relative drift from the asked cut
+    with pytest.raises(ValueError, match="not representable"):
+        freq.heavy_hitters(docs, min_share=6e-7)
+    # exact rationals sail through
+    assert freq.heavy_hitters(docs, min_share=0.02).count() > 0

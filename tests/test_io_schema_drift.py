@@ -155,3 +155,26 @@ def test_mixed_vintage_landing_compacts_losslessly(spark, tmp_path):
     again = spark.read.parquet(dst)
     got = sorted(r[0] for r in again.select(F.unix_micros("ts")).collect())
     assert got == sorted(_expected_epochs() * 2)
+
+
+def test_landing_skips_writer_metadata_dirs(spark, tmp_path):
+    """ADVICE r6: _temporary / .spark-staging / _delta_log entries in a
+    real landing zone are writer metadata, not batches — the scan must
+    skip them (leading '_'/'.' convention) instead of failing or
+    duplicating data."""
+    from books2scrape_etl_spark.io import read_events_landing
+
+    root = tmp_path / "landing"
+    (root / "b1").mkdir(parents=True)
+    _write_events(str(root / "b1"), pa.array(_INSTANTS, pa.timestamp("us")))
+    # junk the zone: an in-flight staging dir with a partial copy, and
+    # marker files
+    (root / "_delta_log").mkdir()
+    (root / "_delta_log" / "000.json").write_text("{}")
+    (root / ".spark-staging-123").mkdir()
+    _write_events(str(root / ".spark-staging-123"), pa.array(_INSTANTS, pa.timestamp("us")))
+    (root / "_SUCCESS").write_text("")
+
+    df = read_events_landing(spark, str(root))
+    got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    assert got == sorted(_expected_epochs())  # exactly one batch, no dupes

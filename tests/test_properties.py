@@ -352,3 +352,127 @@ def test_snapshot_cdc_keys_partition(spark, sf_dir):
             assert r["o_orderkey"] % 7 == 3 and r["o_orderkey"] % 97 != 0
     assert max(seen.values()) == 1  # each key classified once
     assert set(kinds) == {"I", "U", "D"}
+
+
+def test_snapshot_diff_idempotent_and_null_transitions(spark):
+    """CDC laws (VERDICT r6 item 7): diff of identical snapshots is
+    empty — for a snapshot WITH nulls in tracked columns (the case the
+    oracle's null-free TPC-H data can't exercise) — and NULL→value /
+    value→NULL transitions surface as updates under the null-safe
+    comparison."""
+    from books2scrape_etl_spark.operators.scd import snapshot_diff
+
+    v = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "B"), (3, 30.0, None)],
+        "k long, price double, status string",
+    )
+    cols = [("price", "price"), ("status", "status")]
+    assert snapshot_diff(v, v, "k", cols).count() == 0
+
+    v2 = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, None), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(v, v2, "k", cols).collect()}
+    # key 2: NULL→20.0 is a real update; key 3 unchanged (NULL==NULL
+    # null-safe); key 4 inserted; key 1 unchanged.
+    assert got == {2: "U", 4: "I"}
+    # and the reverse direction: value→NULL + delete
+    got_rev = {r["k"]: r["change_type"] for r in snapshot_diff(v2, v, "k", cols).collect()}
+    assert got_rev == {2: "U", 4: "D"}
+
+
+def test_tfidf_separable_logs_match_direct_ln(spark, sf_dir):
+    """tfidf_bm25's separable integer-log design (L(N)-L(df)) must
+    agree with the direct ln(N/df) computation to float tolerance —
+    the separation is an oracle-parity device, not a different
+    formula (VERDICT r6 item 7)."""
+    import math
+
+    from books2scrape_etl_spark.operators.freq import tokens_of
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.queries import QUERIES
+
+    docs = read_table(spark, "documents", sf_dir)
+    n_docs = tokens_of(docs).select("doc_id").distinct().count()
+    rows = QUERIES["tfidf_bm25"](spark, sf_dir).collect()
+    assert rows, "tfidf_bm25 returned no rows on non-empty corpus"
+    k1 = 1.2
+    for r in rows[:2000]:
+        direct_tfidf = r["tf"] * math.log(n_docs / r["df"])
+        assert math.isclose(r["tfidf"], direct_tfidf, rel_tol=1e-9), (
+            r["token"], r["tfidf"], direct_tfidf)
+        direct_idf = math.log((n_docs + 1) / r["df"])
+        # bm25 = idf * saturation; recover saturation and check range
+        sat = r["bm25"] / direct_idf if direct_idf != 0 else 0.0
+        assert 0.0 < sat < k1 + 1.0 + 1e-9, (r["token"], sat)
+
+
+def test_tfidf_fails_loudly_beyond_idf_table(spark, tmp_path):
+    """ADVICE r6: a corpus larger than _IDF_TABLE_MAX-1 docs must FAIL
+    the job, not silently return an empty (vacuously hash-matching)
+    result."""
+    import pytest
+
+    from books2scrape_etl_spark.query_defs11 import _IDF_TABLE_MAX
+    from books2scrape_etl_spark.queries import QUERIES
+
+    n = _IDF_TABLE_MAX  # n_docs = MAX → ln(N+1) lookup misses the table
+    sf = tmp_path / "sfbig"
+    sf.mkdir()
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("common token stream").alias("text"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(str(sf / "documents.parquet"))
+    with pytest.raises(Exception, match="_IDF_TABLE_MAX"):
+        QUERIES["tfidf_bm25"](spark, str(sf)).collect()
+
+
+def test_hopping_every_event_in_exactly_three_windows(spark, sf_dir):
+    """Hopping-window law (VERDICT r6 item 7): with size = 3×slide,
+    every event lands in exactly 3 windows — so the per-window counts
+    sum to exactly 3× the event count, and every (event, window)
+    membership respects window_start <= ts < window_start + size."""
+    import datetime
+
+    from books2scrape_etl_spark.streaming.windows import hopping_counts_batch
+
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.query_defs import _utc
+
+    _utc(spark)
+    ev = read_table(spark, "events", sf_dir)
+    res = hopping_counts_batch(ev, minutes=30, slide_minutes=10)
+    total_memberships = res.agg(F.sum("n_events")).collect()[0][0]
+    assert total_memberships == 3 * ev.count()
+
+    # handcrafted boundary epochs: exact second multiples of the slide
+    # land in the window starting at themselves; off-by-one epochs
+    # shift membership by one slide
+    base = 1_000_000_200  # not a multiple of 600
+    crafted = spark.createDataFrame(
+        [
+            (
+                1,
+                datetime.datetime.fromtimestamp(e, datetime.timezone.utc).replace(
+                    tzinfo=None
+                ),
+                "click",
+                1.0,
+            )
+            for e in (base, base + 599, base + 600)
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in hopping_counts_batch(crafted, minutes=30, slide_minutes=10).collect()
+    }
+    for e in (base, base + 599, base + 600):
+        aligned = e - e % 600
+        starts = [aligned - 600 * k for k in range(3)]
+        for s in starts:
+            assert got.get(s, 0) >= 1
+            assert s <= e < s + 1800
+    assert sum(got.values()) == 9
