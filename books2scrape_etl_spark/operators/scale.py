@@ -277,3 +277,38 @@ def skew_join_plan_text(spark, left: DataFrame, right: DataFrame, left_key, righ
         # plans exist only per-execution)
         joined.collect()
         return joined._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------
+# Exact-global-sort budget (VERDICT r6 item 6): the guard that keeps
+# callers from accidentally single-tasking a 100 TB fact through the
+# two oracle-parity exact paths (ntile tiers, row_number surrogate
+# keys). Above the budget, dispatchers route to the distributed
+# variants in this module / binning.py.
+# ---------------------------------------------------------------------
+
+EXACT_SORT_BUDGET_CONF = "spark.books2scrape_etl.maxExactGlobalSortRows"
+EXACT_SORT_BUDGET_DEFAULT = 10_000_000
+
+
+def exact_sort_budget(spark) -> int:
+    """Row budget for unpartitioned-window exact paths, settable per
+    session via ``spark.books2scrape_etl.maxExactGlobalSortRows``."""
+    return int(spark.conf.get(EXACT_SORT_BUDGET_CONF, str(EXACT_SORT_BUDGET_DEFAULT)))
+
+
+def exceeds_exact_sort_budget(df: DataFrame, max_rows: int | None = None) -> bool:
+    """True when ``df`` has more than ``max_rows`` rows (conf default
+    when None).
+
+    The probe is an early-stopping LocalLimit scan: every task stops
+    producing after max_rows+1 zero-column rows, so at 100 TB this
+    reads a bounded prefix instead of the table — the whole point is
+    that the probe must be radically cheaper than the global sort it
+    prevents. (A plain count() would scan everything; a collect() would
+    move data. The shuffled rows are bare 1-literals, at most
+    max_rows+1 of them.)"""
+    if max_rows is None:
+        max_rows = exact_sort_budget(df.sparkSession)
+    probe = df.select(F.lit(1).alias("__one")).limit(max_rows + 1).count()
+    return probe > max_rows

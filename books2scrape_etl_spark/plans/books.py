@@ -22,7 +22,7 @@ from books2scrape_etl_spark.functions.columns import (
     inventory_value,
     to_binary_flag,
 )
-from books2scrape_etl_spark.operators.binning import bin_fixed, bin_quantile_exact
+from books2scrape_etl_spark.operators.binning import bin_fixed, bin_quantile
 from books2scrape_etl_spark.plans.star import build_star
 
 STOCK_EDGES = (0, 10, 18, 100000)
@@ -70,8 +70,9 @@ def clean_books(raw: DataFrame) -> DataFrame:
             "Stock_Bin", bin_fixed("No_of_books_in_Stock", STOCK_EDGES, STOCK_LABELS)
         )  # B1 (:58-60)
     )
-    # B2 (:63) — exact ntile tiers, deterministic tiebreak on UPC
-    return bin_quantile_exact(
+    # B2 (:63) — ntile tiers with deterministic UPC tiebreak, through
+    # the budget dispatcher (exact below 10M rows, GK edges above)
+    return bin_quantile(
         df, PRICE_EXCL, PRICE_LABELS, out_col="Price_Tier", tiebreak=("UPC",)
     )
 

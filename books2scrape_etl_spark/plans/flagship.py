@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.operators.binning import bin_fixed, bin_quantile_exact
+from books2scrape_etl_spark.operators.binning import bin_fixed, bin_quantile
 
 QTY_EDGES = (0, 10, 18, 100000)
 QTY_LABELS = ("Critical", "Low", "Healthy")
@@ -41,7 +41,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # B2 analogue: price tier on the part dim (small side -> the global
     # ntile sort touches only |part| rows; the tiered dim then broadcasts).
-    part_tiered = bin_quantile_exact(
+    # Dispatcher, not bin_quantile_exact: above the exact-sort budget
+    # this routes to the GK-sketch edges instead of single-tasking.
+    part_tiered = bin_quantile(
         part.select("p_partkey", "p_retailprice"),
         "p_retailprice",
         PRICE_LABELS,

@@ -44,8 +44,40 @@ def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFra
     distinct() matches pandas drop_duplicates (nulls compare equal in
     both); row_number over the natural-key order gives dense 1-based ids
     (transformation_pipeline.py:72-93 analogue, determinism fixed).
+
+    Guardrail (VERDICT r6 item 6): when the INPUT exceeds the
+    exact-global-sort budget (conf
+    ``spark.books2scrape_etl.maxExactGlobalSortRows``, default 10M —
+    probed with an early-stopping zero-column scan), the id assignment
+    routes to :func:`operators.scale.dense_ids_scale`, whose range-
+    partition + offset construction is bit-identical to the global
+    row_number — same ids, no single-task sort. The input count is a
+    conservative upper bound on the distinct-key count, so a 100 TB
+    fact with a tiny dim key routes to the scale path too: correct
+    either way, and the probe never shuffles the data. Ids stay int
+    for schema stability, with an in-plan raise_error past 2^31-1
+    (a dim that wide must call dense_ids_scale directly for long ids).
     """
+    from books2scrape_etl_spark.operators.scale import (
+        dense_ids_scale,
+        exceeds_exact_sort_budget,
+    )
+
     cols = list(natural_key)
+    if exceeds_exact_sort_budget(df):
+        keyed = dense_ids_scale(df, cols, id_col)
+        guarded = F.when(
+            F.col(id_col) > F.lit(2_147_483_647),
+            F.raise_error(
+                F.lit(
+                    f"build_dim: >2^31-1 distinct keys for {id_col}; "
+                    "use dense_ids_scale directly for long ids"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(id_col))
+        return keyed.select(
+            guarded.cast("int").alias(id_col), *cols
+        )
     w = Window.orderBy(*[to_col(c).asc_nulls_first() for c in cols])
     return (
         df.select(*[to_col(c).alias(c) for c in cols])

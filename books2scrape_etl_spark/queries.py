@@ -55,68 +55,58 @@ from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-6 rotation (VERDICT r5 item 1): every wave-9 qname that has
-# never occupied a driver slot rotates IN (21 entries — the 20 from
-# query_defs9 plus multimodal_resize), together with 2 new wave-10
-# rows (join_skew_aqe — the AQE skew-split demo; scale_invariants —
-# the constant-oracle invariant suite that value-verifies
-# bin_quantile_scale / pack_ffd / embed_generate) and 22 returners
-# whose newest green row is r4 or older. Two of the returner slots are
-# new packing suites (agg_olap_suite = rollup+cube+grouping_sets+
-# having; text_suite = text_stats+lang_dist+vocab_topk+
-# repetition_stats), so 8 stale singles refresh through 2 slots.
-# 5 holdovers keep continuous coverage of the flagship and the widest
-# suites. Every r5-green window entry rotates OUT to the
-# just-past-window oracle-paired block (each now holds >=1 hard r5
-# row); rotate them back in r7.
+# Round-7 rotation (VERDICT r6 item 1, executing the plan written in
+# r6): every r6-green window row rotates OUT to the just-past-window
+# oracle-paired block (each now holds a hard r6 row). Rotating IN:
+# - the 11 wave-11 qnames earning their first driver slots
+#   (pagerank_invariants trimmed to 5 training rounds — VERDICT item 2
+#   — the invariants are round-count-independent and the 10-round form
+#   cost 11-22 s/run);
+# - the 5 returners still on r<=4 evidence (partition_pruning,
+#   array_ops, asof_join_general, tpch_q3, tpch_q5 — judge-sim green
+#   in r6, now earning hard rows);
+# - 31 r5-latest refreshers, suites first (tpch_suite/2/3 keep all 16
+#   TPC-H singles inside the r6-r8 evidence horizon in 3 slots;
+#   sources/clean/columns_lineitem cover the S/P families), then the
+#   r5-single-green singles the r6 verdict named (tpch_q10/q12/q14/
+#   q18, pivot, unpivot, the 3 subquery singles, string/math_funcs,
+#   the 4 sampling singles) plus high-value scale/UDF singles.
+# 3 holdovers (flagship, books_e2e, stream_windows_suite) keep
+# continuous coverage AND re-verify this round's code changes: the
+# exact-sort-budget dispatcher now inside flagship/books plans, and
+# the stream-suite temp-dir/memory-table lifecycle fixes.
 #
-# After r6 the only oracle-paired qnames with NO green row r5-r6 are
-# ones whose newest evidence is a green r5/r6 SUITE containing them
-# verbatim, plus partition_pruning / array_ops / asof_join_general /
-# tpch_q3 / tpch_q5 (2-3 direct green rows each across r1-r4).
-#
-# r7 ROTATION PLAN: swap the r6-green window rows out and swap in the
-# round-6 late additions (tfidf_bm25, snapshot_cdc, group_percentiles,
-# bpe_pairs, zorder_cluster, ewma_decay, tokenize_ids, graph_degree,
-# pagerank_invariants, als_invariants, window_hopping — all driver-sim green at
-# sf0.01 AND sf0.1 this round but past the window), plus the
-# r5-single-green rows (tpch_q10/q12/q14/q18, pivot, unpivot,
-# subquery singles, string_funcs, math_funcs, sampling singles) and
-# any returners still on r<=4 evidence (partition_pruning, array_ops,
-# asof_join_general, tpch_q3/q5). Note pagerank_invariants costs
-# ~11-22 s per run (10 training rounds with per-round actions) —
-# budget its slot accordingly.
+# After r7 the oracle-paired qnames on r5-only evidence (agg_stats,
+# sketch_kmv, stream_join, scd2_upsert, decontaminate, corpus_build,
+# chunk_docs, redact_pii, sim_ann_probe, ann_recall, dedup_invariants,
+# report_render, approx_bounds, join_bucketed) are the r8 rotation's
+# first claim on slots, together with whatever r7 adds.
 WINDOW: tuple[str, ...] = (
-    # holdovers: flagship + the end-to-end DAG + the widest suites
+    # holdovers: flagship + the end-to-end DAG + the stream suite
+    # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
     "flagship", "books_e2e", "stream_windows_suite",
-    "winnow_suite", "sampling_suite",
-    # wave-9 (first driver slots): frequency sketches + corpus scoring
-    "sketch_cms", "heavy_hitters", "lm_quality", "token_budget",
-    "embed_quantize", "sketch_kmv_setops",
-    # wave-9: event analytics
-    "funnel_steps", "cohort_retention",
-    # wave-9: formats / layout / maintenance
-    "scan_jsonl", "scan_orc", "scan_merge_schema", "compact_files",
-    # wave-9: SQL surface + runtime filters + frames
-    "join_bloom", "window_range_time", "variant_ops", "recursive_cte",
-    # wave-9: quality / linkage / outliers / codecs
-    "dq_audit", "fuzzy_join", "outlier_zscore", "avi_frames",
-    "multimodal_resize",
-    # wave-10: invariant suite for the approximate scale operators
-    "scale_invariants",
-    # returners (newest green row r4 or older) — component suites first
-    "columns_part_suite", "distinct_suite", "semi_anti_suite",
-    "set_ops_suite", "window_suite", "topk_ordered", "json_map_ops",
-    "scalar_funcs_suite", "subquery_suite", "pivot_unpivot_suite",
-    "date_funcs", "sql_api",
-    # returners — new packing suites (8 stale singles in 2 slots)
-    "agg_olap_suite", "text_suite",
-    # returners — high-value singles
-    "corpus_curation", "sim_cosine", "embed_norm", "multimodal_bytes",
-    "dedup_exact", "ngram_jaccard", "corpus_mixture", "pack_next_fit",
-    # wave-10 AQE skew join LAST: it (briefly) tunes session AQE confs
-    # under a restore-guard; last-slot placement bounds any interaction
-    "join_skew_aqe",
+    # wave-11 (first driver slots): corpus relevance, CDC, percentiles,
+    # BPE, layout, decay, tokenizer, graph, recommender, hopping
+    "tfidf_bm25", "snapshot_cdc", "group_percentiles", "bpe_pairs",
+    "zorder_cluster", "ewma_decay", "tokenize_ids", "graph_degree",
+    "pagerank_invariants", "als_invariants", "window_hopping",
+    # returners on r<=4 evidence — the last five (VERDICT r6 gap 2)
+    "partition_pruning", "array_ops", "asof_join_general",
+    "tpch_q3", "tpch_q5",
+    # r5 refreshers — widest suites first (16 TPC-H singles via 3 slots)
+    "tpch_suite", "tpch_suite2", "tpch_suite3",
+    "sources_suite", "clean_suite", "columns_lineitem_suite",
+    # r5 refreshers — the single-green rows named by the r6 verdict
+    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
+    "pivot", "unpivot",
+    "scalar_subquery", "correlated_subquery", "in_subquery",
+    "string_funcs", "math_funcs",
+    "stratified_sample", "weighted_sample", "stratified_threshold",
+    "shuffle_shards",
+    # r5 refreshers — scale/UDF/join singles
+    "udaf_grouped", "grouped_map", "surrogate_key_scale", "join_salted",
+    "explode_split", "join_asof", "join_fact", "join_sortmerge",
+    "multimodal_decode", "window_lag_lead",
 )
 
 

@@ -38,3 +38,57 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert {(r.o_orderpriority, r["count"]) for r in plain.collect()} == {
         (r.o_orderpriority, r["count"]) for r in salted.collect()
     }
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_sort_budget_switch_bin_quantile(spark):
+    """VERDICT r6 item 6: above the exact-global-sort budget the B2
+    dispatcher must route to the sketch-edge variant (no unpartitioned
+    ntile window in the plan); below it, to the exact ntile."""
+    from books2scrape_etl_spark.operators.binning import bin_quantile
+    from books2scrape_etl_spark.operators.scale import EXACT_SORT_BUDGET_CONF
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 17).cast("double").alias("v")
+    )
+    labels = ["lo", "mid", "hi"]
+    spark.conf.set(EXACT_SORT_BUDGET_CONF, "10")
+    try:
+        routed = bin_quantile(df, "v", labels, tiebreak=("id",))
+        assert "ntile" not in _executed_plan(routed)
+        assert routed.where(F.col("tier").isNull()).count() == 0
+        spark.conf.set(EXACT_SORT_BUDGET_CONF, "1000")
+        exact = bin_quantile(df, "v", labels, tiebreak=("id",))
+        assert "ntile" in _executed_plan(exact)
+        # each exact tier holds rows/n ± 1 rows (ntile law)
+        sizes = [r["n"] for r in exact.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()]
+        assert max(sizes) - min(sizes) <= 1
+    finally:
+        spark.conf.unset(EXACT_SORT_BUDGET_CONF)
+
+
+def test_exact_sort_budget_switch_build_dim(spark):
+    """Above the budget build_dim assigns ids through dense_ids_scale
+    (range partition + offsets — __pid machinery in the plan, no
+    unpartitioned row_number); ids and schema stay IDENTICAL to the
+    exact path, so the switch is invisible to correctness."""
+    from books2scrape_etl_spark.operators.scale import EXACT_SORT_BUDGET_CONF
+    from books2scrape_etl_spark.plans.star import build_dim
+
+    df = spark.range(200).select((F.col("id") % 23).alias("k"))
+    spark.conf.set(EXACT_SORT_BUDGET_CONF, "10")
+    try:
+        scale = build_dim(df, ["k"], "k_id")
+        # the scale path's per-partition offsets surface as __pid
+        # (the localCheckpoint boundary hides the expression itself)
+        assert "__pid" in _executed_plan(scale)
+        spark.conf.set(EXACT_SORT_BUDGET_CONF, "100000")
+        exact = build_dim(df, ["k"], "k_id")
+        assert "__pid" not in _executed_plan(exact)
+        assert scale.dtypes == exact.dtypes  # nullability flags may differ
+        assert sorted(map(tuple, scale.collect())) == sorted(map(tuple, exact.collect()))
+    finally:
+        spark.conf.unset(EXACT_SORT_BUDGET_CONF)
