@@ -106,7 +106,11 @@ WINDOW: tuple[str, ...] = (
     # r5 refreshers — scale/UDF/join singles
     "udaf_grouped", "grouped_map", "surrogate_key_scale", "join_salted",
     "explode_split", "join_asof", "join_fact", "join_sortmerge",
-    "multimodal_decode", "window_lag_lead",
+    "multimodal_decode",
+    # new in r7 (VERDICT item 8): the ALS serving path — takes the
+    # slot window_lag_lead would have refreshed (its r5 row stays
+    # valid through r7; r8 reclaims it)
+    "als_topk",
 )
 
 

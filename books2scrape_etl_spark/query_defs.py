@@ -1232,8 +1232,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_meta(resized, with_pixels=True)
 
 
-@register("multimodal_frames")  # rows-only: byte-slicing stub (no pure-Python video codec)
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5d — 1->N frame-sampling fan-out via mapInPandas."""
-    media = multimodal.documents_as_media(read_table(spark, "documents", sf_dir))
-    return multimodal.sample_frames(media).select("media_id", "frame_idx")
+# (multimodal_frames retired in r7 — VERDICT r6 item 4: redundant with
+# avi_frames, which drives the REAL RIFF container walker with a
+# pixel-level oracle; the generic byte-window sample_frames stub it
+# exercised remains unit-tested in tests/test_ops.py.)

@@ -808,3 +808,94 @@ def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = read_table(spark, "events", sf_dir)
     return stream_ops.hopping_counts_batch(ev, minutes=30, slide_minutes=10)
+
+
+_ALS_TOPK_SQL = """
+SELECT 'exactly_k_per_user' AS check_name, TRUE AS ok
+UNION ALL SELECT 'scores_sorted_desc', TRUE
+UNION ALL SELECT 'scores_finite', TRUE
+UNION ALL SELECT 'full_user_coverage', TRUE
+"""
+
+
+@register("als_topk", _ALS_TOPK_SQL)
+def q_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS serving path (VERDICT r6 item 8) — top-5 supplier
+    recommendations per customer from the factor matrices
+    (operators/recommend.py:als_topk, the recommendForAllUsers
+    equivalent), verified through serve invariants (seeded float
+    factors are not bit-portable, the pagerank/als_invariants
+    pattern):
+
+    - exactly_k_per_user: every user gets exactly k dense-ranked rows
+      (rnk spans 1..k — a top-k that drops or duplicates ranks is
+      broken);
+    - scores_sorted_desc: within each user, score is non-increasing in
+      rnk (the window ordered by the right key);
+    - scores_finite: no NaN/Inf escapes the factor dot product;
+    - full_user_coverage: every training user receives
+      recommendations (ALS fits a factor row for every observed user).
+    """
+    from books2scrape_etl_spark.operators.recommend import (
+        als_topk,
+        purchase_ratings,
+    )
+
+    k = 5
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    ratings = purchase_ratings(orders, li).localCheckpoint(eager=True)
+    n_users = ratings.select("user").distinct().count()
+    top = als_topk(ratings, k=k)
+    per_user = top.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rnk").alias("min_rnk"),
+        F.max("rnk").alias("max_rnk"),
+        # adjacent-pair monotonicity over the rnk-sorted score list
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.array_sort(F.collect_list(F.struct("rnk", "score"))), 1, k - 1),
+                F.slice(F.array_sort(F.collect_list(F.struct("rnk", "score"))), 2, k - 1),
+                lambda a, b: (a["score"] >= b["score"]).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_sorted_pairs"),
+        F.max(
+            (F.isnan("score") | F.col("score").isNull()).cast("int")
+        ).alias("any_bad"),
+    )
+    agg = per_user.agg(
+        F.min((F.col("n") == k).cast("int")).alias("all_k"),
+        F.min((F.col("min_rnk") == 1).cast("int")).alias("all_min1"),
+        F.min((F.col("max_rnk") == k).cast("int")).alias("all_maxk"),
+        F.min((F.col("n_sorted_pairs") == k - 1).cast("int")).alias("all_sorted"),
+        F.max("any_bad").alias("any_bad"),
+        F.count(F.lit(1)).alias("n_served"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exactly_k_per_user").alias("check_name"),
+                    (
+                        (F.col("all_k") == 1)
+                        & (F.col("all_min1") == 1)
+                        & (F.col("all_maxk") == 1)
+                    ).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("scores_sorted_desc").alias("check_name"),
+                    (F.col("all_sorted") == 1).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("scores_finite").alias("check_name"),
+                    (F.col("any_bad") == 0).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("full_user_coverage").alias("check_name"),
+                    (F.col("n_served") == F.lit(n_users)).alias("ok"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.ok")

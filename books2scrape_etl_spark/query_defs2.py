@@ -314,17 +314,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx")  # rows-only: sketch internals differ across engines
-def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the 100 TB substitutes for exact
-    COUNT(DISTINCT)/percentile (HLL++ / Greenwald-Khanna sketches are
-    mergeable across partitions, one pass, bounded memory)."""
-    li = read_table(spark, "lineitem", sf_dir)
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
-    )
+# (agg_approx retired in r7 — VERDICT r6 item 4: its rows-only signal
+# was strictly dominated by approx_bounds in query_defs7.py, which runs
+# the same HLL++/GK sketches against their exact twins under published
+# error bounds with an oracle-verified result.)
 
 
 # =====================================================================
@@ -704,15 +697,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_cc")  # rows-only: iterative algorithm, no SQL twin
-def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 exact-grouping variant — keep one doc per connected component
-    of the verified-similar graph (iterative min-label propagation;
-    bounded lineage via persist/unpersist per round)."""
-    from books2scrape_etl_spark.operators.dedupe import minhash_dedup_cc
-
-    docs = read_table(spark, "documents", sf_dir)
-    return minhash_dedup_cc(docs, threshold=0.6).select("doc_id", "lang", "source")
+# (dedup_minhash_cc retired in r7 — VERDICT r6 item 4: redundant with
+# dedup_cc_star, which exercises the same minhash_dedup_cc operator
+# through the large-star/small-star propagation, and dedup_invariants,
+# which value-verifies the survivor set. The operator and its
+# union-find ground-truth unit tests are unchanged.)
 
 
 # =====================================================================

@@ -503,6 +503,11 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.union(des)
 
 
+# The suite's 'hopping' section replays the SAME oracle as the
+# window_hopping single (query_defs11) — one definition, no drift.
+# Import is acyclic: query_defs11 pulls only queries/query_defs.
+from books2scrape_etl_spark.query_defs11 import _HOPPING_SQL as _HOPPING_ORACLE_SQL  # noqa: E402
+
 # hoisted so stream_windows_suite's composed oracle (registered above
 # stream_join in this file) and the stream_join register share ONE
 # definition — the suite 'join' section and the single can never drift
@@ -548,6 +553,10 @@ _STREAM_JOIN_SQL = """
            CAST(NULL AS DOUBLE)
     FROM ({_STREAM_JOIN_SQL})
     UNION ALL
+    SELECT 'hopping', CAST(window_start AS BIGINT), CAST(NULL AS BIGINT),
+           event_type, CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE)
+    FROM ({_HOPPING_ORACLE_SQL})
+    UNION ALL
     SELECT 'star', CAST(3 AS BIGINT), CAST(9 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(2364.04 AS DOUBLE)
@@ -560,9 +569,13 @@ _STREAM_JOIN_SQL = """
 def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T7 in one window slot, union-normalized to (kind, k1, k2, s,
     n, v). Two batch-equivalent sections (T2 tumbling, T3 session) plus
-    FOUR REAL drained streams, so the streaming machinery itself — not
+    FIVE REAL drained streams, so the streaming machinery itself — not
     just its window expressions — is value-verified:
 
+    - 'hopping' (T2b streaming, r7): watermarked F.window(30m, 10m)
+      hopping counts over a real readStream drained with availableNow;
+      must equal the batch form, whose 3-way window expansion the
+      oracle replays (same SQL as the window_hopping single).
     - 'dedup' (T1+T4+T5): dropDuplicatesWithinWatermark over a stream
       where every event arrives TWICE (duplicated landing files); the
       deduped per-type counts must equal the plain single-copy GROUP BY
@@ -593,6 +606,7 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from books2scrape_etl_spark.streaming.windows import (
         stateful_running_max,
         streaming_dedup,
+        streaming_hopping,
     )
 
     t = QUERIES["stream_tumbling"](spark, sf_dir).select(
@@ -610,6 +624,14 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("string").alias("s"),
         F.col("n_events").cast("long").alias("n"),
         F.lit(None).cast("double").alias("v"),
+    )
+    h = streaming_hopping(spark, sf_dir).select(
+        F.lit("hopping").alias("kind"),
+        F.col("window_start").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("s"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("v"),
     )
     d = streaming_dedup(spark, sf_dir, copies=2).select(
         F.lit("dedup").alias("kind"),
@@ -651,7 +673,7 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rating_sum").cast("long").alias("n"),
         F.col("stock_sum").cast("double").alias("v"),
     )
-    return t.union(s).union(d).union(st).union(j).union(star).union(src)
+    return t.union(s).union(h).union(d).union(st).union(j).union(star).union(src)
 
 
 def _streamed_books_source_summary(spark: SparkSession) -> DataFrame:

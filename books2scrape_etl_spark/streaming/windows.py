@@ -191,21 +191,28 @@ class _few_state_partitions:
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
     sink and return the result table — T1's drain-and-stop trigger, the
-    streaming analogue of the reference's scheduled full recompute."""
+    streaming analogue of the reference's scheduled full recompute.
+
+    Checkpoint + memory-table lifecycle (the ADVICE r6 leak class): the
+    checkpoint dir lives in a TemporaryDirectory removed after the
+    drain, and the memory table is dropped once its rows are pinned by
+    an eager localCheckpoint — one drain leaves nothing behind."""
     name = f"s_{uuid.uuid4().hex[:10]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     spark = stream_df.sparkSession
-    with _few_state_partitions(spark):
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        with _few_state_partitions(spark):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", os.path.join(ckpt, "offsets"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_tumbling(spark: SparkSession, sf_dir: str, minutes: int = 10) -> DataFrame:
@@ -216,6 +223,27 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, minutes: int = 10) -> D
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = tumbling_counts_window(ev, minutes)
     return _drain_to_memory(agg, "append")
+
+
+def streaming_hopping(
+    spark: SparkSession, sf_dir: str, minutes: int = 30, slide_minutes: int = 10
+) -> DataFrame:
+    """T2b streaming form (VERDICT r6 item 8): watermarked hopping
+    counts over a real readStream, drained with availableNow. The same
+    F.window(size, slide) expression as :func:`hopping_counts_batch`,
+    so the drained result equals the batch form — which is how the
+    suite oracle value-checks it (the window_hopping single pins the
+    batch expression against DuckDB's explicit 3-way expansion).
+
+    Complete output mode, not append: append only emits windows the
+    final watermark has passed, so the last size/slide windows of the
+    drain stay parked in state and the result comes up short of the
+    batch form (measured: 6 rows at sf0.001). Complete emits every
+    window — for a bounded availableNow drain the unevicted state is
+    bounded too."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = hopping_counts_batch(ev, minutes, slide_minutes)
+    return _drain_to_memory(agg, "complete")
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
