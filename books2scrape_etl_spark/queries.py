@@ -44,6 +44,7 @@ from books2scrape_etl_spark import query_defs8  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs10  # noqa: E402,F401  (wraps earlier modules' oracles — keep after them)
 from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the

@@ -1,0 +1,398 @@
+"""Wave-12 qnames (round 7): time-series completion, OHLC-style bars,
+rolling distinct-user reach, PMI collocations, and pure-DataFrame
+k-means.
+
+Placed past the 50-entry driver window (the r7 window carries the r6
+verdict's rotation plan); first claim on r8 slots together with the
+r5-only returners listed in queries.py.
+
+Engine-parity choices (applying the measured rules in COVERAGE.md):
+
+- no libm anywhere: PMI ranks by the RAW probability ratio
+  ``p(xy)/(p(x)p(y))`` — monotone in the log form, so the ln() that is
+  not bit-portable between the JVM and DuckDB is never computed;
+- every float expression mirrors the Spark tree's parenthesization op
+  for op, with explicit casts on both sides;
+- doubles that pass through min/max/min_by/LOCF unchanged are
+  hash-safe; every SUM goes through the exact-decimal helpers;
+- timestamps never cross the boundary raw: epoch-second longs via
+  ``CAST(ts AS LONG)`` ≡ DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.operators.text import normalize_for_fingerprint
+from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.query_defs import _NORM_SQL, topk_with_rank
+
+# ---------------------------------------------------------------------
+# ts_gapfill — regular-grid completion + LOCF (the feature-store /
+# monitoring primitive: a model join must see EVERY hour, not just the
+# hours that happened to log)
+# ---------------------------------------------------------------------
+
+_GAPFILL_USER_MOD = 29  # bound the grid: ~3% of users exercise the op
+
+_TS_GAPFILL_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+  FROM events WHERE user_id % {_GAPFILL_USER_MOD} = 0
+),
+h AS (
+  SELECT user_id, es - es % 3600 AS hour_es,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum_exact("value", scale=4)} AS sv
+  FROM e GROUP BY 1, 2
+),
+b AS (SELECT user_id, min(hour_es) AS mn, max(hour_es) AS mx FROM h GROUP BY 1),
+g AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS hour_es FROM b)
+SELECT g.user_id, g.hour_es,
+       COALESCE(h.n, 0) AS n_events,
+       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       last_value(h.sv IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour_es
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour_es = h.hour_es
+"""
+
+
+@register("ts_gapfill", _TS_GAPFILL_SQL)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid completion per user (``sequence`` + ``explode``
+    densifies each user's [first, last] hour) with
+    last-observation-carried-forward of the hourly exact-decimal value
+    sum (``F.last(ignorenulls)`` — the double passes through UNCHANGED,
+    so it hash-matches DuckDB's ``last_value IGNORE NULLS`` without any
+    float arithmetic).
+
+    Scale: the grid is ``span_hours`` rows per user — generated inside
+    the task from one (min, max) row, never shuffled wide; the LOCF
+    window is per-user (partitioned, no global sort). The user_id
+    filter (% {mod}) bounds the demo's grid; remove it and the plan
+    shape is unchanged.""".format(mod=_GAPFILL_USER_MOD)
+    ev = read_table(spark, "events", sf_dir).where(
+        F.col("user_id") % _GAPFILL_USER_MOD == 0
+    )
+    es = F.col("ts").cast("long")
+    hourly = (
+        ev.select("user_id", (es - es % 3600).alias("hour_es"), "value")
+        .groupBy("user_id", "hour_es")
+        .agg(F.count(F.lit(1)).alias("n"), sum_exact("value", scale=4).alias("sv"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_es").alias("mn"), F.max("hour_es").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_es"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "hour_es"], "left").select(
+        "user_id",
+        "hour_es",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("n").isNull().cast("bigint").alias("is_gap"),
+        F.last("sv", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+# ---------------------------------------------------------------------
+# ohlc_bars — open/high/low/close rollup via min_by/max_by (first/last
+# per bucket WITHOUT a sort or window: one map-side-combining agg)
+# ---------------------------------------------------------------------
+
+_OHLC_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+  FROM events
+)
+SELECT event_type, es - es % 3600 AS bucket_es,
+       arg_min(value, k) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, k) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume,
+       {oracle_sum_exact("value", scale=4)} AS turnover
+FROM e GROUP BY 1, 2
+"""
+
+
+@register("ohlc_bars", _OHLC_SQL)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type: first/last are ``min_by``/
+    ``max_by`` on a composite (epoch-second, event_id) BIGINT key — a
+    single hash aggregation with map-side partials, where the naive
+    formulation (row_number window + filter) would shuffle every row
+    twice and sort each partition. The doubles pass through untouched
+    (hash-safe); the sum is exact-decimal.
+
+    The composite key guards its own precondition in-plan: event_id
+    must fit the 10^6 slot (raise_error past it — fail loudly, the r6
+    advice rule, rather than silently mis-ordering ties)."""
+    ev = read_table(spark, "events", sf_dir)
+    es = F.col("ts").cast("long")
+    key = F.when(
+        F.col("event_id") < 1_000_000, es * F.lit(1_000_000) + F.col("event_id")
+    ).otherwise(
+        F.raise_error("ohlc_bars: event_id >= 1e6 overflows the order key slot").cast(
+            "long"
+        )
+    )
+    return (
+        ev.select("event_type", "value", (es - es % 3600).alias("bucket_es"), key.alias("k"))
+        .groupBy("event_type", "bucket_es")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            sum_exact("value", scale=4).alias("turnover"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# rolling_active — 7-day rolling distinct users (DAU/WAU): distinct
+# count over a sliding window via the hopping-window expansion trick
+# (count(DISTINCT) inside a window frame is not a thing in either
+# engine — expand each active day to the 7 windows it serves instead)
+# ---------------------------------------------------------------------
+
+_ROLLING_ACTIVE_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+daily AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+expanded AS (
+  SELECT user_id, d + k AS day FROM pairs CROSS JOIN unnest([0,1,2,3,4,5,6]) AS t(k)
+),
+rolling AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM expanded GROUP BY 1
+)
+SELECT r.day, COALESCE(daily.dau, 0) AS dau, r.wau
+FROM rolling r LEFT JOIN daily ON r.day = daily.day
+"""
+
+
+@register("rolling_active", _ROLLING_ACTIVE_SQL)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-7-day actives per day. A user
+    active on day d counts toward windows d..d+6, so the expansion is
+    7 rows per DEDUPED (user, day) pair — the shuffle carries the
+    7×|pairs| expansion of the already-collapsed pairs, never 7× the
+    raw events. Same aligned-expansion idea as window_hopping, applied
+    to a distinct-count (which no engine supports as a window frame
+    aggregate). Trailing days past the last activity keep their
+    partial windows (dau = 0), mirrored exactly by the oracle."""
+    ev = read_table(spark, "events", sf_dir)
+    d = F.expr("CAST(ts AS LONG) DIV 86400")
+    pairs = ev.select("user_id", d.alias("d")).distinct()
+    daily = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    expanded = pairs.select(
+        "user_id", F.explode(F.sequence("d", F.col("d") + F.lit(6))).alias("day")
+    )
+    rolling = expanded.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return rolling.join(daily, "day", "left").select(
+        "day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau"
+    )
+
+
+# ---------------------------------------------------------------------
+# pmi_collocations — top word-pair associations WITHOUT computing a
+# logarithm: PMI = ln(p(xy)/(p(x)p(y))) is monotone in the ratio, so
+# ranking by the ratio gives the identical top-k while keeping every
+# operation an exact-input IEEE multiply/divide (ln is not bit-portable
+# between the JVM and DuckDB — measured, COVERAGE.md round 6)
+# ---------------------------------------------------------------------
+
+_PMI_TOPK = 30
+_PMI_MIN_CNT = 3
+
+_PMI_SQL = f"""
+WITH toks AS (SELECT string_split({_NORM_SQL}, ' ') AS l FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    WHERE len(l) >= 2
+  ) GROUP BY w1, w2
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(cw) AS BIGINT) FROM uni) AS nu,
+         (SELECT CAST(SUM(cxy) AS BIGINT) FROM bi) AS nb
+),
+scored AS (
+  SELECT b.w1, b.w2, b.cxy, u1.cw AS cx, u2.cw AS cy,
+         ((CAST(b.cxy AS DOUBLE) * CAST(t.nu AS DOUBLE)) * CAST(t.nu AS DOUBLE))
+           / ((CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)) * CAST(t.nb AS DOUBLE))
+           AS ratio
+  FROM bi b
+  JOIN uni u1 ON b.w1 = u1.w
+  JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN tot t
+  WHERE b.cxy >= {_PMI_MIN_CNT}
+)
+SELECT w1, w2, cxy, cx, cy, ratio,
+       CAST(row_number() OVER (ORDER BY ratio DESC, w1 ASC, w2 ASC) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= {_PMI_TOPK}
+"""
+
+
+@register("pmi_collocations", _PMI_SQL)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations by pointwise mutual information over
+    adjacent-token bigrams (unigram marginals over the whole corpus).
+    Bigrams come from zipping the token array with its own tail —
+    winnowing's shifted-arrays pattern, generated inside the scan
+    stage. The ratio's float tree is mirrored op-for-op in the oracle;
+    counts stay exact BIGINTs until the one final scoring expression.
+
+    Scale: two hash aggregations (unigrams, bigrams) + two equi-joins
+    on token keys; corpus totals attach via 1-row broadcast. Top-k is
+    TakeOrderedAndProject, never a global sort.""".format(k=_PMI_TOPK)
+    docs = read_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.split(normalize_for_fingerprint(F.col("text")), " ").alias("l")
+    )
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n = F.size("l")
+    bigrams = toks.where(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", F.lit(1), n - 1),
+                F.slice("l", F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    bi = bigrams.select("p.w1", "p.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    tot = uni.agg(F.sum("cw").alias("nu")).crossJoin(
+        bi.agg(F.sum("cxy").alias("nb"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        bi.where(F.col("cxy") >= _PMI_MIN_CNT)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cx"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cy"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            "cx",
+            "cy",
+            (
+                ((d("cxy") * d("nu")) * d("nu")) / ((d("cx") * d("cy")) * d("nb"))
+            ).alias("ratio"),
+        )
+    )
+    return topk_with_rank(
+        scored,
+        (F.col("ratio").desc(), F.col("w1").asc(), F.col("w2").asc()),
+        _PMI_TOPK,
+        rank_col="rnk",
+    )
+
+
+# ---------------------------------------------------------------------
+# kmeans_invariants — Lloyd's k-means as pure DataFrame aggregation,
+# verified through its convergence theorem (float iteration is not
+# bit-portable; the pagerank_invariants pattern)
+# ---------------------------------------------------------------------
+
+_KMEANS_SQL = """
+SELECT 'inertia_monotone' AS check_name, TRUE AS ok
+UNION ALL SELECT 'final_update_improves', TRUE
+UNION ALL SELECT 'assignments_valid', TRUE
+"""
+
+
+@register("kmeans_invariants", _KMEANS_SQL)
+def q_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 4 rounds, deterministic first-k init) over
+    the embeddings table — operators/cluster.py — checked through the
+    algorithm's own theorems (robust to the last-ulp reduction-order
+    noise that rules out value hashing):
+
+    - inertia_monotone: each update round can only lower total
+      within-cluster squared distance (Lloyd's descent property);
+    - final_update_improves: re-assigning against the final centroids
+      yields inertia <= the last pre-update value;
+    - assignments_valid: every point lands in cluster 1..k with a
+      finite non-negative dist2, and no row is lost.
+
+    Exact blob-recovery ground truth lives in the unit tests."""
+    from books2scrape_etl_spark.operators.cluster import lloyd_kmeans
+
+    k = 8
+    emb = read_table(spark, "embeddings", sf_dir)
+    n_rows = emb.count()
+    assigned, history, _ = lloyd_kmeans(emb, k=k, iterations=4)
+    monotone = all(
+        history[i + 1] <= history[i] * (1 + 1e-9) + 1e-9
+        for i in range(len(history) - 1)
+    )
+    agg = assigned.agg(
+        F.sum("dist2").alias("final_inertia"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("cluster").alias("c_min"),
+        F.max("cluster").alias("c_max"),
+        F.min("dist2").alias("d_min"),
+        F.max(F.isnan("dist2").cast("int")).alias("any_nan"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("inertia_monotone").alias("check_name"),
+                    F.lit(monotone).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("final_update_improves").alias("check_name"),
+                    (
+                        F.col("final_inertia")
+                        <= F.lit(history[-1]) * (1 + 1e-9) + 1e-9
+                    ).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("assignments_valid").alias("check_name"),
+                    (
+                        (F.col("n") == F.lit(n_rows))
+                        & (F.col("c_min") >= 1)
+                        & (F.col("c_max") <= k)
+                        & (F.col("d_min") >= 0.0)
+                        & (F.col("any_nan") == 0)
+                    ).alias("ok"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.ok")
