@@ -324,6 +324,117 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# robust_outliers — median/MAD outlier profile per group (the robust
+# twin of outlier_zscore: immune to the outliers it hunts). Spark
+# percentile ≡ DuckDB quantile_cont bit-for-bit (measured, COVERAGE.md
+# round 6), so the medians hash-match raw.
+# ---------------------------------------------------------------------
+
+_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, med, quantile_cont(adev, 0.5) AS mad,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM dev GROUP BY 1, 2
+)
+SELECT d.event_type, s.med, s.mad, s.n,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad s ON d.event_type = s.event_type
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("robust_outliers", _ROBUST_OUTLIERS_SQL)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier profile: median, MAD (median absolute
+    deviation), and the count beyond 3 MADs. z-scores (outlier_zscore)
+    move with the very outliers they flag; median/MAD have a 50%
+    breakdown point. Three aggregation passes, each map-side-combining
+    on event_type; the 1-row-per-group med/mad frames broadcast back —
+    the fact table shuffles on event_type only. abs/subtract/compare
+    mirror the oracle op-for-op; 3.0 and 0.5 are exact binary literals."""
+    ev = read_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("adev", 0.5).alias("mad"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1)
+            .otherwise(0)
+            .alias("is_out"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("is_out").cast("bigint").alias("n_outliers"))
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "med", "mad", "n", "n_outliers")
+    )
+
+
+# ---------------------------------------------------------------------
+# quantile_normalize — percent-rank feature transform (map a heavy-
+# tailed feature onto [0, 1] by its within-group empirical CDF; the
+# rank-based normalization feature pipelines use when min-max or
+# z-scaling is outlier-fragile)
+# ---------------------------------------------------------------------
+
+_QNORM_USER_MOD = 199
+
+_QNORM_SQL = f"""
+WITH r AS (
+  SELECT event_id, user_id, event_type, value,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS q
+  FROM events
+)
+SELECT event_id, event_type, value, q
+FROM r WHERE user_id % {_QNORM_USER_MOD} = 0
+"""
+
+
+@register("quantile_normalize", _QNORM_SQL)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF normalization of ``value`` within each event_type:
+    percent_rank = (rank-1)/(n-1), an exact integer ratio evaluated
+    identically by both engines (hash-safe without decimal detours).
+    Ranks are computed over the FULL partition; the user_id filter only
+    bounds the compared output (applied after the window — the rank of
+    a row depends on every row in its group).
+
+    Scale: the window partitions on event_type. For a low-cardinality
+    group column at 100 TB the right physical form is a two-pass
+    rank (per-partition pre-rank + offset merge, the
+    surrogate_key_scale pattern); this qname pins the semantics that
+    scale path must reproduce."""
+    ev = read_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.percent_rank().over(w).alias("q"),
+        )
+        .where(F.col("user_id") % _QNORM_USER_MOD == 0)
+        .select("event_id", "event_type", "value", "q")
+    )
+
+
+# ---------------------------------------------------------------------
 # kmeans_invariants — Lloyd's k-means as pure DataFrame aggregation,
 # verified through its convergence theorem (float iteration is not
 # bit-portable; the pagerank_invariants pattern)

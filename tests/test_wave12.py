@@ -150,6 +150,40 @@ def test_rolling_active_window_law(spark, monkeypatch):
     assert min(got) == d0 and max(got) == d0 + 8 + 6
 
 
+def test_robust_outliers_mad_math(spark, monkeypatch):
+    import datetime as dt
+
+    from books2scrape_etl_spark import query_defs12 as q12
+
+    base = dt.datetime(2024, 1, 1)
+    # values 1..9 (med=5, adev med=2) plus one wild point at 1000
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    rows = [(i, base, 0, "a", v) for i, v in enumerate(vals)]
+    df = _events_df(spark, rows)
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: df)
+    out = q12.q_robust_outliers(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.med, r.n) == (5.5, 10)  # interpolated median of 10 values
+    # adevs: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 -> mad 2.5
+    assert r.mad == 2.5
+    assert r.n_outliers == 1  # only the wild point exceeds 3*mad=7.5
+
+
+def test_quantile_normalize_bounds_and_monotone(spark, monkeypatch):
+    import datetime as dt
+
+    from books2scrape_etl_spark import query_defs12 as q12
+
+    base = dt.datetime(2024, 1, 1)
+    # all user_id 0 so every row survives the output filter
+    rows = [(i, base, 0, "a", float(v)) for i, v in enumerate([5.0, 1.0, 9.0, 3.0])]
+    df = _events_df(spark, rows)
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: df)
+    out = sorted(q12.q_quantile_normalize(spark, "unused").collect(), key=lambda r: r.value)
+    assert [r.q for r in out] == [0.0, 1 / 3, 2 / 3, 1.0]
+
+
 def test_pmi_ratio_ranks_association(spark, monkeypatch):
     from books2scrape_etl_spark import query_defs12 as q12
 
