@@ -435,6 +435,133 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# gini_diversity — behavioral diversity per user WITHOUT entropy's
+# logarithm: Gini impurity 1 - Σ p_i² is the standard log-free
+# diversity index, and Σ cnt_i² / total² is exact integer arithmetic
+# until one final mirrored division
+# ---------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM c GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       1.0 - (CAST(sum_sq AS DOUBLE)
+              / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))) AS gini
+FROM u
+"""
+
+
+@register("gini_diversity", _GINI_SQL)
+def q_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity over event types via Gini impurity
+    (1 - Σp²) — the log-free diversity index, so nothing touches the
+    non-bit-portable ln() that Shannon entropy would need. Counts stay
+    exact BIGINTs; the single closing expression mirrors the oracle's
+    float tree. Two map-side-combining aggregations, keyed finer then
+    coarser on the same leading column (user_id) — AQE coalesces the
+    second exchange."""
+    ev = read_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    u = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (F.lit(1.0) - (d("sum_sq") / (d("n_events") * d("n_events")))).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------
+# source_overlap — pairwise vocabulary Jaccard between corpus sources
+# (the corpus-composition diagnostic before mixing: which sources are
+# near-copies of each other?)
+# ---------------------------------------------------------------------
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, w
+  FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM vocab GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_common, sa.nv AS nv_a, sb.nv AS nv_b,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(sa.nv + sb.nv - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+"""
+
+
+@register("source_overlap", _SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard for every source pair sharing ≥1 token: the
+    dedup-family diagnostic at SOURCE granularity (near-copy feeds show
+    up as jaccard → 1 long before row-level MinHash runs). The pair
+    space materializes through a token-key equi-join of the DISTINCT
+    (source, token) vocab against itself (each token contributes at
+    most |sources-containing-it| pairs — never a cross product), and
+    |A ∪ B| = |A| + |B| - |A ∩ B| keeps everything in the exact
+    integer domain until one mirrored division. Source cardinality is
+    assumed small (tens of feeds); the vocab join keys are tokens, so
+    the shuffle scales with vocab size, not corpus size."""
+    docs = read_table(spark, "documents", sf_dir)
+    vocab = docs.select(
+        "source",
+        F.explode(F.split(normalize_for_fingerprint(F.col("text")), " ")).alias("w"),
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "nv_a",
+            "nv_b",
+            (
+                d("n_common")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # kmeans_invariants — Lloyd's k-means as pure DataFrame aggregation,
 # verified through its convergence theorem (float iteration is not
 # bit-portable; the pagerank_invariants pattern)

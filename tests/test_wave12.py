@@ -184,6 +184,47 @@ def test_quantile_normalize_bounds_and_monotone(spark, monkeypatch):
     assert [r.q for r in out] == [0.0, 1 / 3, 2 / 3, 1.0]
 
 
+def test_gini_diversity_math(spark, monkeypatch):
+    import datetime as dt
+
+    from books2scrape_etl_spark import query_defs12 as q12
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 0: 3 of 'a', 1 of 'b' -> gini = 1 - (9+1)/16 = 0.375
+        (1, base, 0, "a", 0.0), (2, base, 0, "a", 0.0),
+        (3, base, 0, "a", 0.0), (4, base, 0, "b", 0.0),
+        # user 1: single type -> gini 0
+        (5, base, 1, "c", 0.0), (6, base, 1, "c", 0.0),
+    ]
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: _events_df(spark, rows))
+    got = {r.user_id: r for r in q12.q_gini_diversity(spark, "unused").collect()}
+    assert (got[0].n_events, got[0].n_types, got[0].gini) == (4, 2, 0.375)
+    assert (got[1].n_events, got[1].n_types, got[1].gini) == (2, 1, 0.0)
+
+
+def test_source_overlap_jaccard(spark, monkeypatch):
+    from books2scrape_etl_spark import query_defs12 as q12
+
+    docs = [
+        (1, "red green blue", "en", "s1", 1),
+        (2, "green blue yellow", "en", "s2", 1),
+        (3, "purple", "en", "s3", 1),
+        (4, "blue red green", "en", "s1", 1),  # dup tokens collapse per source
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: df)
+    out = {(r.src_a, r.src_b): r for r in q12.q_source_overlap(spark, "unused").collect()}
+    # s1={red,green,blue}, s2={green,blue,yellow}: inter 2, union 4
+    r = out[("s1", "s2")]
+    assert (r.n_common, r.nv_a, r.nv_b) == (2, 3, 3)
+    assert r.jaccard == 0.5
+    # s3 shares nothing -> absent (inner-join semantics, documented)
+    assert set(out) == {("s1", "s2")}
+
+
 def test_pmi_ratio_ranks_association(spark, monkeypatch):
     from books2scrape_etl_spark import query_defs12 as q12
 
