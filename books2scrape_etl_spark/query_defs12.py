@@ -83,6 +83,10 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", (es - es % 3600).alias("hour_es"), "value")
         .groupBy("user_id", "hour_es")
         .agg(F.count(F.lit(1)).alias("n"), sum_exact("value", scale=4).alias("sv"))
+        # consumed twice (bounds + fill join); Catalyst has no CTE
+        # reuse, so materialize the small hourly rollup once instead
+        # of scanning the raw events twice (plan-audited)
+        .localCheckpoint(eager=True)
     )
     grid = (
         hourly.groupBy("user_id")
@@ -176,16 +180,14 @@ WITH pairs AS (
   SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
   FROM events
 ),
-daily AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
 expanded AS (
-  SELECT user_id, d + k AS day FROM pairs CROSS JOIN unnest([0,1,2,3,4,5,6]) AS t(k)
-),
-rolling AS (
-  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
-  FROM expanded GROUP BY 1
+  SELECT user_id, d + k AS day, k
+  FROM pairs CROSS JOIN unnest([0,1,2,3,4,5,6]) AS t(k)
 )
-SELECT r.day, COALESCE(daily.dau, 0) AS dau, r.wau
-FROM rolling r LEFT JOIN daily ON r.day = daily.day
+SELECT day,
+       CAST(COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM expanded GROUP BY day
 """
 
 
@@ -197,20 +199,20 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     7×|pairs| expansion of the already-collapsed pairs, never 7× the
     raw events. Same aligned-expansion idea as window_hopping, applied
     to a distinct-count (which no engine supports as a window frame
-    aggregate). Trailing days past the last activity keep their
-    partial windows (dau = 0), mirrored exactly by the oracle."""
+    aggregate). DAU rides the SAME pass as a conditional distinct on
+    the k=0 slice (plan-audited: the two-branch join formulation
+    scanned and deduped the pairs twice). Trailing days past the last
+    activity keep their partial windows (dau = 0 — a conditional
+    distinct over an empty slice), mirrored exactly by the oracle."""
     ev = read_table(spark, "events", sf_dir)
     d = F.expr("CAST(ts AS LONG) DIV 86400")
     pairs = ev.select("user_id", d.alias("d")).distinct()
-    daily = pairs.groupBy(F.col("d").alias("day")).agg(
-        F.count(F.lit(1)).alias("dau")
-    )
     expanded = pairs.select(
-        "user_id", F.explode(F.sequence("d", F.col("d") + F.lit(6))).alias("day")
-    )
-    rolling = expanded.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
-    return rolling.join(daily, "day", "left").select(
-        "day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau"
+        "user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select("user_id", (F.col("d") + F.col("k")).alias("day"), "k")
+    return expanded.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("k") == 0, F.col("user_id"))).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
     )
 
 
@@ -277,10 +279,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.split(normalize_for_fingerprint(F.col("text")), " ").alias("l")
     )
+    # uni feeds three consumers (cx join, cy join, nu total) and bi two
+    # (scores, nb total); materialize each vocab-sized rollup once —
+    # without this the corpus is scanned and re-tokenized five times
+    # (plan-audited; Catalyst has no CTE reuse)
     uni = (
         toks.select(F.explode("l").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=True)
     )
     n = F.size("l")
     bigrams = toks.where(n >= 2).select(
@@ -292,8 +299,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    bi = bigrams.select("p.w1", "p.w2").groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("cxy")
+    bi = (
+        bigrams.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("cw").alias("nu")).crossJoin(
         bi.agg(F.sum("cxy").alias("nb"))
@@ -524,10 +534,19 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed small (tens of feeds); the vocab join keys are tokens, so
     the shuffle scales with vocab size, not corpus size."""
     docs = read_table(spark, "documents", sf_dir)
-    vocab = docs.select(
-        "source",
-        F.explode(F.split(normalize_for_fingerprint(F.col("text")), " ")).alias("w"),
-    ).distinct()
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(normalize_for_fingerprint(F.col("text")), " ")
+            ).alias("w"),
+        )
+        .distinct()
+        # consumed three times (sizes, both join sides); materialize the
+        # vocab-sized rollup once rather than re-tokenizing the corpus
+        # per consumer (plan-audited; Catalyst has no CTE reuse)
+        .localCheckpoint(eager=True)
+    )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a = vocab.select(F.col("source").alias("src_a"), "w")
     b = vocab.select(F.col("source").alias("src_b"), "w")
