@@ -581,6 +581,128 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# feature_hashing — the hashing-trick TF vectorizer (fixed-width
+# feature space without a vocabulary build or broadcast). Bucket ids
+# are md5-prefix strings: md5 is the one hash both engines share
+# bit-identically, and keeping the bucket as a 2-hex-char STRING
+# (256 buckets) avoids any hex→int conversion parity question.
+# ---------------------------------------------------------------------
+
+_FEATHASH_DOC_MOD = 17  # bound the compared output; the transform is
+# per-doc, so vectorizing a doc subset exercises the identical path
+
+_FEATHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substr(md5(w), 1, 2) AS bucket
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+        FROM documents WHERE doc_id % {_FEATHASH_DOC_MOD} = 0)
+)
+SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+FROM t GROUP BY doc_id, bucket
+"""
+
+
+@register("feature_hashing", _FEATHASH_SQL)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency features: token → md5-prefix bucket
+    (256-wide feature space), counted per (doc, bucket). No vocabulary
+    pass, no broadcast dictionary, no OOV concept — the property that
+    makes the hashing trick THE vectorizer for unbounded vocabularies
+    at corpus scale. One generator-in-scan projection + one
+    map-side-combining aggregation; collisions are part of the
+    contract (both engines collide identically because md5 is
+    bit-portable)."""
+    docs = read_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") % _FEATHASH_DOC_MOD == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_for_fingerprint(F.col("text")), " ")).alias("w"),
+    )
+    return (
+        toks.select("doc_id", F.substring(F.md5("w"), 1, 2).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# ---------------------------------------------------------------------
+# grouped_regression — closed-form per-group OLS trend (value ~ time):
+# slope/intercept from the five sufficient statistics, each an EXACT
+# decimal sum, so the only float work is the final mirrored division.
+# The sufficient-statistics form is also the map-side-combinable /
+# mergeable form — the same five numbers aggregate hierarchically at
+# any scale (partial states are just partial sums).
+# ---------------------------------------------------------------------
+
+_REG_EPOCH0 = 1_704_067_200  # 2024-01-01 UTC — centers x to keep
+# decimal magnitudes small (x <= ~2.6e6 over the 30-day window)
+
+_GROUPED_REG_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) - {_REG_EPOCH0} AS x,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM e GROUP BY 1
+)
+SELECT event_type, n, sx, sy,
+       ((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+         / ((CAST(n AS DOUBLE) * sxx) - (sx * sx)) AS slope,
+       (sy - (((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+              / ((CAST(n AS DOUBLE) * sxx) - (sx * sx))) * sx)
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+@register("grouped_regression", _GROUPED_REG_SQL)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend of value over time from the five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) — ONE aggregation
+    pass, partials merge map-side, and the statistics themselves are
+    exact decimal integers (x is epoch-centered to keep magnitudes in
+    range). slope = (nΣxy - ΣxΣy)/(nΣx² - (Σx)²); the float tree of
+    the two closing expressions mirrors the oracle op for op. The
+    mergeable-sufficient-statistics shape is the sketch-family
+    pattern (KMV/CMS) applied to regression."""
+    ev = read_table(spark, "events", sf_dir)
+    x = (F.col("ts").cast("long") - F.lit(_REG_EPOCH0)).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,4)")
+    s = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    slope = ((nd * F.col("sxy")) - (F.col("sx") * F.col("sy"))) / (
+        (nd * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------
 # kmeans_invariants — Lloyd's k-means as pure DataFrame aggregation,
 # verified through its convergence theorem (float iteration is not
 # bit-portable; the pagerank_invariants pattern)

@@ -225,6 +225,45 @@ def test_source_overlap_jaccard(spark, monkeypatch):
     assert set(out) == {("s1", "s2")}
 
 
+def test_feature_hashing_md5_parity_and_counts(spark, monkeypatch):
+    import hashlib
+
+    from books2scrape_etl_spark import query_defs12 as q12
+
+    docs = [(0, "red red green", "en", "s1", 1), (17, "blue", "en", "s1", 1),
+            (3, "never vectorized", "en", "s1", 1)]  # fails the % 17 filter
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: df)
+    out = q12.q_feature_hashing(spark, "unused").collect()
+    b = lambda w: hashlib.md5(w.encode()).hexdigest()[:2]  # noqa: E731
+    got = {(r.doc_id, r.bucket): r.tf for r in out}
+    assert got == {(0, b("red")): 2, (0, b("green")): 1, (17, b("blue")): 1}
+
+
+def test_grouped_regression_exact_line(spark, monkeypatch):
+    import datetime as dt
+
+    from books2scrape_etl_spark import query_defs12 as q12
+
+    epoch0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    # y = 2x + 5 exactly, x in small integers -> closed form is exact
+    for i, xsec in enumerate([0, 10, 20, 40, 80]):
+        rows.append(
+            (i, (epoch0 + dt.timedelta(seconds=xsec)).replace(tzinfo=None), 0, "a", 2.0 * xsec + 5.0)
+        )
+    # a second group with a flat line y = 7
+    for i, xsec in enumerate([0, 30, 60]):
+        rows.append((10 + i, (epoch0 + dt.timedelta(seconds=xsec)).replace(tzinfo=None), 0, "b", 7.0))
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: _events_df(spark, rows))
+    got = {r.event_type: r for r in q12.q_grouped_regression(spark, "unused").collect()}
+    assert (got["a"].slope, got["a"].intercept) == (2.0, 5.0)
+    assert (got["b"].slope, got["b"].intercept) == (0.0, 7.0)
+    assert (got["a"].n, got["b"].n) == (5, 3)
+
+
 def test_pmi_ratio_ranks_association(spark, monkeypatch):
     from books2scrape_etl_spark import query_defs12 as q12
 
