@@ -211,3 +211,47 @@ def test_streaming_dedup_collapses_duplicated_stream(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """True restart semantics (not just batch-replay idempotence): a
+    SECOND query started with the SAME checkpoint must resume from the
+    recorded source offsets — new files process exactly once, already-
+    processed files are NOT re-delivered to the sink."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(lo, hi, name):
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(
+            os.path.join(landing, name)
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing + "/*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    land(0, 100, "b1")
+    drain()  # first run: file b1 -> offsets recorded in ckpt
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    land(100, 150, "b2")
+    drain()  # restart with the SAME checkpoint: only b2 may process
+    final = spark.read.parquet(out)
+    assert final.count() == 150  # 100 would mean b2 missed; 250 a re-delivery
+    ids = [r.id for r in final.select("id").distinct().collect()]
+    assert len(ids) == 150 and min(ids) == 0 and max(ids) == 149
