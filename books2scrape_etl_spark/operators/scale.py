@@ -75,6 +75,71 @@ def dense_ids_scale(
     )
 
 
+def percent_rank_scale(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    out_col: str = "q",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group percent_rank WITHOUT one-task-per-group windows — the
+    100 TB replacement for ``percent_rank() OVER (PARTITION BY g ORDER
+    BY ...)`` when the group column is low-cardinality (each exact-form
+    window partition would be a single task holding a whole group).
+
+    Same two-phase construction as :func:`dense_ids_scale`, group-aware:
+
+    1. range-partition on (group, *order) — a group spans a RUN of
+       consecutive partitions, each task bounded by the range size, and
+       rank within (partition, group);
+    2. collect only the per-(partition, group) COUNTS (tiny: at most
+       partitions + groups rows), prefix-sum per group in partition
+       order on the driver, broadcast the offsets back:
+       rank = offset + local_rank, q = (rank-1)/(n_group-1).
+
+    ``order_cols`` must be a total order within each group (include a
+    tiebreak key); then the global rank is bit-identical to the exact
+    window form and the SAME oracle verifies both. Single-row groups
+    get q = 0.0 (the engines' own percent_rank convention).
+    """
+    order = [to_col(c).asc_nulls_first() for c in order_cols]
+    rp = (
+        df.repartitionByRange(num_partitions, group_col, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(group_col, *order_cols)
+    )
+    staged = rp.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid", group_col).orderBy(*order)
+    # persist before the counts action (same boundary-resample hazard
+    # documented in dense_ids_scale)
+    ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
+    counts = sorted(
+        (r["__pid"], r[group_col], r["cnt"])
+        for r in ranked.groupBy("__pid", group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    totals: dict = {}
+    for _, g, cnt in counts:
+        totals[g] = totals.get(g, 0) + cnt
+    offsets, acc = [], {}
+    for pid, g, cnt in counts:  # sorted by (pid, g): partition order per group
+        offsets.append((pid, g, acc.get(g, 0), totals[g]))
+        acc[g] = acc.get(g, 0) + cnt
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    off_df = spark.createDataFrame(
+        offsets, f"__pid int, {group_col} {g_type}, __off long, __n long"
+    )
+    rank = F.col("__off") + F.col("__rn")
+    q = F.when(F.col("__n") > 1, (rank - 1).cast("double") / (F.col("__n") - 1).cast("double")).otherwise(0.0)
+    return (
+        ranked.join(F.broadcast(off_df), ["__pid", group_col])
+        .withColumn(out_col, q)
+        .drop("__pid", "__rn", "__off", "__n")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

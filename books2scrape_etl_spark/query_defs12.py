@@ -580,6 +580,30 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quantile_normalize_scale", _QNORM_SQL)
+def q_quantile_normalize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed twin of quantile_normalize (SURVEY §7.4 scale-
+    path family): per-group percent_rank via range partition + local
+    rank + broadcast per-(partition, group) offsets
+    (operators/scale.py:percent_rank_scale) instead of one-task-per-
+    group windows. (value, event_id) is a total order within each
+    group, so the global rank — and therefore q = (rank-1)/(n-1) — is
+    bit-identical to the exact window form, and the SAME oracle SQL
+    verifies both (the surrogate_key_scale/bin_quantile_scale
+    pattern)."""
+    from books2scrape_etl_spark.operators.scale import percent_rank_scale
+
+    ev = read_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ranked = percent_rank_scale(
+        ev, "event_type", ["value", "event_id"], out_col="q"
+    )
+    return ranked.where(F.col("user_id") % _QNORM_USER_MOD == 0).select(
+        "event_id", "event_type", "value", "q"
+    )
+
+
 # ---------------------------------------------------------------------
 # feature_hashing — the hashing-trick TF vectorizer (fixed-width
 # feature space without a vocabulary build or broadcast). Bucket ids

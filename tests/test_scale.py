@@ -92,3 +92,42 @@ def test_exact_sort_budget_switch_build_dim(spark):
         assert sorted(map(tuple, scale.collect())) == sorted(map(tuple, exact.collect()))
     finally:
         spark.conf.unset(EXACT_SORT_BUDGET_CONF)
+
+
+def test_percent_rank_scale_equals_exact_window(spark, sf_dir):
+    """The distributed per-group percent_rank (range partition + local
+    rank + broadcast offsets) is bit-identical to the exact window
+    form, and its windows are (partition, group)-scoped — never one
+    task per group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.operators.scale import percent_rank_scale
+
+    ev = read_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    exact = {
+        (r.event_id): (r.event_type, r.value, r.q)
+        for r in ev.select("event_id", "event_type", "value", F.percent_rank().over(w).alias("q")).collect()
+    }
+    scale = percent_rank_scale(ev, "event_type", ["value", "event_id"], num_partitions=7)
+    got = {r.event_id: (r.event_type, r.value, r.q) for r in scale.collect()}
+    assert got == exact  # bit-identical, including q doubles
+
+    plan = scale._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in spec  # every window is partition-scoped
+
+
+def test_percent_rank_scale_single_row_group(spark):
+    from books2scrape_etl_spark.operators.scale import percent_rank_scale
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 3.0), (9, "lone", 1.0)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r.event_id: r.q for r in percent_rank_scale(df, "event_type", ["value", "event_id"], num_partitions=2).collect()}
+    assert got == {2: 0.0, 1: 1.0, 9: 0.0}  # lone group -> 0.0 by convention
