@@ -234,3 +234,22 @@ def test_skew_join_runtime_split(spark, sf_dir):
     plan = skew_join_plan_text(spark, left, right, "k", "kd")
     assert "skew=true" in plan, plan[:2000]
     assert "skewed" in plan.lower()
+
+
+def test_ohlc_bars_single_aggregation_no_window(spark, sf_dir):
+    """OHLC first/last ride min_by/max_by inside ONE two-phase hash
+    aggregate — the naive row_number-window form would add a sort and
+    a second full-row shuffle."""
+    plan = explain_str(QUERIES["ohlc_bars"](spark, sf_dir), "simple")
+    assert "Window" not in plan and "Sort" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in plan and "partial_max_by" in plan  # map-side partials
+
+
+def test_rolling_active_single_scan_no_join(spark, sf_dir):
+    """DAU rides the same pass as WAU via a conditional distinct — the
+    plan must read the events once and join nothing (the two-branch
+    formulation scanned and deduped the pairs twice)."""
+    plan = explain_str(QUERIES["rolling_active"](spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
