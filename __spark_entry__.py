@@ -42,7 +42,15 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "books2scrape_etl_spark_pkg")
+    # per-process zip path: a FIXED /tmp name races when two drivers run
+    # concurrently on one host — make_archive rewrites the file while the
+    # other session's executor fetches it ("exists and does not match
+    # contents of", observed with two parallel verify sweeps). addPyFile
+    # keys the executor-side cache on the file NAME, so the base name
+    # must stay stable; only the directory is unique.
+    zip_base = os.path.join(
+        tempfile.mkdtemp(prefix="b2s_pkg_"), "books2scrape_etl_spark_pkg"
+    )
     zip_path = shutil.make_archive(
         zip_base, "zip", root_dir=repo_root, base_dir="books2scrape_etl_spark"
     )
