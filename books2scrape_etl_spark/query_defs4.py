@@ -508,6 +508,10 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Import is acyclic: query_defs11 pulls only queries/query_defs.
 from books2scrape_etl_spark.query_defs11 import _HOPPING_SQL as _HOPPING_ORACLE_SQL  # noqa: E402
 
+# same pattern for the 'ohlc_*' sections (r7): the suite replays the
+# ohlc_bars single's oracle — acyclic for the same reason
+from books2scrape_etl_spark.query_defs12 import _OHLC_SQL as _OHLC_ORACLE_SQL  # noqa: E402
+
 # hoisted so stream_windows_suite's composed oracle (registered above
 # stream_join in this file) and the stream_join register share ONE
 # definition — the suite 'join' section and the single can never drift
@@ -557,6 +561,14 @@ _STREAM_JOIN_SQL = """
            event_type, CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE)
     FROM ({_HOPPING_ORACLE_SQL})
     UNION ALL
+    SELECT 'ohlc_open', CAST(bucket_es AS BIGINT), CAST(NULL AS BIGINT),
+           event_type, CAST(volume AS BIGINT), CAST(open AS DOUBLE)
+    FROM ({_OHLC_ORACLE_SQL})
+    UNION ALL
+    SELECT 'ohlc_close', CAST(bucket_es AS BIGINT), CAST(NULL AS BIGINT),
+           event_type, CAST(volume AS BIGINT), CAST(close AS DOUBLE)
+    FROM ({_OHLC_ORACLE_SQL})
+    UNION ALL
     SELECT 'star', CAST(3 AS BIGINT), CAST(9 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(2364.04 AS DOUBLE)
@@ -587,6 +599,12 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       drained to completion; every (click, purchase) attribution pair
       must equal the batch interval join the oracle replays — state
       eviction or watermark bugs change the pair set and break the hash.
+    - 'ohlc_open'/'ohlc_close' (T2c streaming, r7): min_by/max_by on
+      the composite (epoch, event_id) key as STREAMING aggregates in a
+      watermarked hourly window, drained complete; open/close must
+      settle to the same rows the batch ohlc_bars single picks (same
+      oracle SQL) no matter how the drain splits into micro-batches —
+      the extremum state is a constant-size mergeable pair.
     - 'star' (T1 over the reference DAG, r5): the foreachBatch books
       star build (streaming/pipeline.py) drained from fixture landing
       files; the landed fact must hold each book EXACTLY once across
@@ -607,6 +625,7 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_running_max,
         streaming_dedup,
         streaming_hopping,
+        streaming_ohlc,
     )
 
     t = QUERIES["stream_tumbling"](spark, sf_dir).select(
@@ -657,6 +676,23 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag_s").cast("long").alias("n"),
         F.lit(None).cast("double").alias("v"),
     )
+    o = streaming_ohlc(spark, sf_dir)
+    o_open = o.select(
+        F.lit("ohlc_open").alias("kind"),
+        F.col("bucket_es").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("s"),
+        F.col("volume").cast("long").alias("n"),
+        F.col("open").cast("double").alias("v"),
+    )
+    o_close = o.select(
+        F.lit("ohlc_close").alias("kind"),
+        F.col("bucket_es").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("s"),
+        F.col("volume").cast("long").alias("n"),
+        F.col("close").cast("double").alias("v"),
+    )
     star = _streamed_books_star_summary(spark).select(
         F.lit("star").alias("kind"),
         F.col("n_rows").cast("long").alias("k1"),
@@ -673,7 +709,17 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rating_sum").cast("long").alias("n"),
         F.col("stock_sum").cast("double").alias("v"),
     )
-    return t.union(s).union(h).union(d).union(st).union(j).union(star).union(src)
+    return (
+        t.union(s)
+        .union(h)
+        .union(d)
+        .union(st)
+        .union(j)
+        .union(o_open)
+        .union(o_close)
+        .union(star)
+        .union(src)
+    )
 
 
 def _streamed_books_source_summary(spark: SparkSession) -> DataFrame:

@@ -225,6 +225,40 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, minutes: int = 10) -> D
     return _drain_to_memory(agg, "append")
 
 
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over a real readStream (the streaming form of
+    query_defs12.q_ohlc_bars): ``min_by``/``max_by`` on the composite
+    (epoch-second, event_id) key run as STREAMING aggregates inside a
+    watermarked F.window — per-key state is the pair (value, best key)
+    per extremum, constant-size and mergeable across micro-batches, so
+    a bar's open/close settle to the same rows the batch form picks
+    regardless of how the files split into batches.
+
+    Complete mode for the same reason as hopping: append would hold
+    back the final unevicted windows of the drain. The suite verifies
+    open/close (the order-sensitive outputs; high/low/volume are plain
+    min/max/count already covered by the tumbling section)."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    es = F.col("ts").cast("long")
+    key = es * F.lit(1_000_000) + F.col("event_id")
+    agg = (
+        ev.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_es"),
+            "event_type",
+            "open",
+            "close",
+            "volume",
+        )
+    )
+    return _drain_to_memory(agg, "complete")
+
+
 def streaming_hopping(
     spark: SparkSession, sf_dir: str, minutes: int = 30, slide_minutes: int = 10
 ) -> DataFrame:
