@@ -115,22 +115,10 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per bucket WITHOUT a sort or window: one map-side-combining agg)
 # ---------------------------------------------------------------------
 
-_OHLC_SQL = f"""
-WITH e AS (
-  SELECT event_type, value,
-         CAST(floor(epoch(ts)) AS BIGINT) AS es,
-         CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
-  FROM events
-)
-SELECT event_type, es - es % 3600 AS bucket_es,
-       arg_min(value, k) AS open,
-       max(value) AS high,
-       min(value) AS low,
-       arg_max(value, k) AS close,
-       CAST(COUNT(*) AS BIGINT) AS volume,
-       {oracle_sum_exact("value", scale=4)} AS turnover
-FROM e GROUP BY 1, 2
-"""
+# definition lives in oracle_shared (cycle-free) because the stream
+# suite's composed oracle (query_defs4) replays it as its 'ohlc_*'
+# sections — one definition, no drift, importable from any order
+from books2scrape_etl_spark.oracle_shared import OHLC_SQL as _OHLC_SQL  # noqa: E402
 
 
 @register("ohlc_bars", _OHLC_SQL)

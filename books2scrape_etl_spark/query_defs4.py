@@ -509,8 +509,11 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 from books2scrape_etl_spark.query_defs11 import _HOPPING_SQL as _HOPPING_ORACLE_SQL  # noqa: E402
 
 # same pattern for the 'ohlc_*' sections (r7): the suite replays the
-# ohlc_bars single's oracle — acyclic for the same reason
-from books2scrape_etl_spark.query_defs12 import _OHLC_SQL as _OHLC_ORACLE_SQL  # noqa: E402
+# ohlc_bars single's oracle. NOT imported from query_defs12 — a direct
+# `import query_defs12` (tests do this) would then re-enter query_defs4
+# mid-init and hit a partially initialized module; oracle_shared is
+# cycle-free by construction.
+from books2scrape_etl_spark.oracle_shared import OHLC_SQL as _OHLC_ORACLE_SQL  # noqa: E402
 
 # hoisted so stream_windows_suite's composed oracle (registered above
 # stream_join in this file) and the stream_join register share ONE

@@ -176,3 +176,29 @@ def test_kmeans_matches_numpy_lloyd(spark):
         assert math.isclose(h, rh, rel_tol=1e-9), (history, ref_hist)
     got = {r.vec_id: r.cluster - 1 for r in assigned.collect()}
     assert all(got[i] == ref_lab[i] for i in range(len(pts)))
+
+
+def test_wave12_results_partitioning_invariant(spark, sf_dir):
+    """Re-partitioning the input must not change any wave-12 result —
+    the distributed-correctness law the oracle compare can't see
+    (it always reads the same layout). Exercised by monkeypatching the
+    reader to shuffle the input into a different partitioning."""
+    import books2scrape_etl_spark.query_defs12 as q12
+    from books2scrape_etl_spark.io import read_table
+
+    def canon(df):
+        rows = [tuple(r) for r in df.collect()]
+        return sorted(rows, key=repr)
+
+    from books2scrape_etl_spark.queries import QUERIES
+
+    for qname in ["ohlc_bars", "rolling_active", "gini_diversity",
+                  "grouped_regression", "feature_hashing", "robust_outliers"]:
+        base = canon(QUERIES[qname](spark, sf_dir))
+        orig = q12.read_table
+        try:
+            q12.read_table = lambda s, n, d: read_table(s, n, d).repartition(13)
+            repart = canon(QUERIES[qname](spark, sf_dir))
+        finally:
+            q12.read_table = orig
+        assert repart == base, qname
