@@ -715,6 +715,35 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# stream_static_join — T7b: the enrichment join shape (stream × static
+# dimension), value-verified against the batch join it must equal
+# ---------------------------------------------------------------------
+
+_STREAM_STATIC_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_sum_exact("value", scale=4)} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+@register("stream_static_join", _STREAM_STATIC_SQL)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b — stream-static enrichment join over a REAL readStream
+    (streaming/windows.py:streaming_static_join): events stream joins
+    the static customer dimension per micro-batch (no watermark, no
+    join state — the static side broadcasts), per-segment counts and
+    exact-decimal sums drained availableNow. The oracle replays the
+    plain batch join+group the drain must equal — batch/stream join
+    parity as a hard value check, completing the join-shape matrix
+    next to the stream-stream interval join (stream_join)."""
+    from books2scrape_etl_spark.streaming.windows import streaming_static_join
+
+    return streaming_static_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
 # kmeans_invariants — Lloyd's k-means as pure DataFrame aggregation,
 # verified through its convergence theorem (float iteration is not
 # bit-portable; the pagerank_invariants pattern)

@@ -259,6 +259,33 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b — stream-STATIC enrichment join (the other join shape next
+    to the stream-stream interval join): streaming events inner-join
+    the static customer dimension on user_id = c_custkey, then a
+    per-segment streaming aggregate, drained availableNow in complete
+    mode.
+
+    Unlike stream-stream, a stream-static inner join needs NO
+    watermark and keeps NO join state — each micro-batch joins against
+    the (broadcastable) static side, which is exactly how a 100 TB
+    stream enriches against dimension tables. The drained result must
+    equal the plain batch join+group the oracle replays."""
+    import os as _os
+
+    ev = _stream_events(spark, sf_dir)
+    cust = (
+        spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+    )
+    joined = ev.join(cust, ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    return _drain_to_memory(agg, "complete")
+
+
 def streaming_hopping(
     spark: SparkSession, sf_dir: str, minutes: int = 30, slide_minutes: int = 10
 ) -> DataFrame:

@@ -255,3 +255,31 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     assert final.count() == 150  # 100 would mean b2 missed; 250 a re-delivery
     ids = [r.id for r in final.select("id").distinct().collect()]
     assert len(ids) == 150 and min(ids) == 0 and max(ids) == 149
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """T7b: the drained stream-static enrichment join equals the plain
+    batch join+group (stateless per-batch join against the static
+    dimension — no watermark required)."""
+    import os
+
+    from books2scrape_etl_spark.streaming.windows import streaming_static_join
+
+    ev = read_table(spark, "events", sf_dir)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    batch = {
+        r.c_mktsegment: (r.n, float(r.v))
+        for r in ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    assert batch  # the join overlaps (user ids are customer keys)
+    streamed = {
+        r.c_mktsegment: (r.n_events, float(r.sum_value))
+        for r in streaming_static_join(spark, sf_dir).collect()
+    }
+    assert streamed == batch
