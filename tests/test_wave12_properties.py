@@ -202,3 +202,77 @@ def test_wave12_results_partitioning_invariant(spark, sf_dir):
         finally:
             q12.read_table = orig
         assert repart == base, qname
+
+
+def test_grouped_regression_matches_numpy_polyfit(spark, monkeypatch):
+    """Sufficient-statistics OLS equals numpy.polyfit (direct lstsq) on
+    seeded random data, to float tolerance."""
+    import datetime as dt
+
+    import numpy as np
+
+    rng = random.Random(5)
+    epoch0 = dt.datetime(2024, 1, 1)
+    rows, xs, ys = [], [], []
+    for i in range(200):
+        x = rng.randrange(0, 100000)
+        y = 0.25 * x + 40.0 + rng.uniform(-5, 5)
+        rows.append((i, epoch0 + dt.timedelta(seconds=x), 0, "g", y))
+        xs.append(x)
+        ys.append(y)
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: _events_df(spark, rows))
+    r = q12.q_grouped_regression(spark, "unused").collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)
+    assert math.isclose(r.slope, slope, rel_tol=1e-9)
+    assert math.isclose(r.intercept, intercept, rel_tol=1e-6)
+
+
+def test_feature_hashing_conserves_token_mass(spark, monkeypatch):
+    """Per doc, the hashed TF vector sums to the doc's token count —
+    the hashing trick redistributes mass, never drops or invents it."""
+    rng = random.Random(9)
+    docs = []
+    for i in range(0, 170, 17):  # doc ids passing the % 17 filter
+        words = " ".join(f"w{rng.randrange(500)}" for _ in range(rng.randrange(1, 60)))
+        docs.append((i, words, "en", "t", 1))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(q12, "read_table", lambda s, n, d: df)
+    out = q12.q_feature_hashing(spark, "unused").collect()
+    mass = Counter()
+    for r in out:
+        mass[r.doc_id] += r.tf
+    expect = {i: len(t.split()) for (i, t, *_) in docs}
+    assert dict(mass) == expect
+
+
+def test_percent_rank_scale_random_shapes(spark):
+    """percent_rank_scale equals the exact window form on random data
+    across random partition counts (hypothesis-style seeded sweep)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.operators.scale import percent_rank_scale
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = rng.randrange(5, 80)
+        rows = [
+            (i, rng.choice(["a", "b", "c"]), float(rng.randrange(20)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        exact = {
+            r.event_id: r.q
+            for r in df.select("event_id", F.percent_rank().over(w).alias("q")).collect()
+        }
+        got = {
+            r.event_id: r.q
+            for r in percent_rank_scale(
+                df, "event_type", ["value", "event_id"],
+                num_partitions=rng.randrange(1, 9),
+            ).collect()
+        }
+        assert got == exact, trial
