@@ -81,10 +81,13 @@ from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
 # sketch_kmv, stream_join, scd2_upsert, decontaminate, corpus_build,
 # chunk_docs, redact_pii, sim_ann_probe, ann_recall, dedup_invariants,
 # report_render, approx_bounds, join_bucketed) are the r8 rotation's
-# first claim on slots, together with the 7 wave-12 qnames added in
-# r7 (ts_gapfill, ohlc_bars, rolling_active, pmi_collocations,
-# kmeans_invariants, robust_outliers, quantile_normalize — builder-sim
-# green at both SFs, zero driver rows yet).
+# first claim on slots, together with the 13 wave-12/13 qnames added
+# in r7 (ts_gapfill, ohlc_bars, rolling_active, pmi_collocations,
+# kmeans_invariants, robust_outliers, quantile_normalize,
+# gini_diversity, source_overlap, feature_hashing, grouped_regression,
+# quantile_normalize_scale, stream_static_join — builder-sim green at
+# both SFs in the r7 definitive sweeps, zero driver rows yet; pack
+# into 2-3 suites if slots run short, the established pattern).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
