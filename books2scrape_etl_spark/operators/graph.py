@@ -106,3 +106,101 @@ def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical undirected co-purchase edges over parts: ``(src <
+    dst, support)`` for every pair of distinct parts appearing in the
+    same order — the market-basket graph that association mining and
+    triangle/community analysis run on.
+
+    Scale: the pair expansion happens INSIDE each order's basket via
+    array HOFs (one groupBy shuffle carrying baskets, no self-join of
+    the fact). Baskets are naturally tiny (TPC-H ≤ 7 items, retail
+    ≤ O(100)), so the per-row fan-out is C(|basket|, 2) — bounded by
+    basket size squared, never by table size. The output shuffle
+    carries one row per DISTINCT pair (map-side combine collapses
+    repeats before the exchange)."""
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def triangle_corners(edges: DataFrame) -> DataFrame:
+    """One row ``(a, b, c)`` per triangle in an undirected graph given
+    as CANONICAL edges (``src < dst``, already distinct) — the
+    degree-oriented wedge-join algorithm (Suri & Vassilvitskii's
+    MR triangle counting / Cohen's graph-twiddling, the published
+    100 TB formulation).
+
+    Why not join on the raw ``src < dst`` orientation: a celebrity hub
+    with degree d generates C(d, 2) wedges under id-orientation —
+    quadratic in the hub degree, the classic skew blowup. Re-orienting
+    every edge from its LOWER-degree endpoint (ties by id) bounds every
+    out-degree by O(sqrt(m)), so wedge work per node is bounded by m —
+    the total wedge count drops from Σ C(deg, 2) to O(m^1.5)
+    regardless of skew. The result set is identical: each triangle is
+    enumerated exactly once, at its minimum-(degree, id) corner.
+
+    Plan: one degree aggregate, two broadcast-or-shuffle equi-joins to
+    orient, one self-join on the wedge pivot, one semi-join closure
+    check. No cross product anywhere; every join key is a node id."""
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.select("src", "dst")
+        .join(deg.select(F.col("node").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    lower_is_src = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(lower_is_src, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lower_is_src, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+    # wedges at the minimum corner: two out-neighbors of the same lo;
+    # (b, c) taken in canonical id order so the closure probe hits the
+    # canonical edge form directly
+    w1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        edges.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "leftsemi",
+    )
+    return closed.select("a", "b", "c")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation ``(node, n_tri)`` — each
+    triangle credits all three corners. Nodes in no triangle are
+    absent (join against a degree table to densify)."""
+    tri = triangle_corners(edges)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -45,6 +45,7 @@ from books2scrape_etl_spark import query_defs9  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs10  # noqa: E402,F401  (wraps earlier modules' oracles — keep after them)
 from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs13  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -87,7 +88,9 @@ from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
 # gini_diversity, source_overlap, feature_hashing, grouped_regression,
 # quantile_normalize_scale, stream_static_join — builder-sim green at
 # both SFs in the r7 definitive sweeps, zero driver rows yet; pack
-# into 2-3 suites if slots run short, the established pattern).
+# into 2-3 suites if slots run short, the established pattern) and
+# the 4 late-r7 wave-13 qnames (sessionize_batch, event_transitions,
+# skyline_pareto, graph_triangles — query_defs13.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
