@@ -198,9 +198,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     triangle credits all three corners. Nodes in no triangle are
     absent (join against a degree table to densify)."""
     tri = triangle_corners(edges)
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    # explode, not a 3-way unionAll of selects: Catalyst has no subtree
+    # reuse, so a union would EXECUTE the wedge join three times
+    # (plan-audited — the wave-12 multi-consumer lesson)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
