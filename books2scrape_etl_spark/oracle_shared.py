@@ -9,6 +9,12 @@ initialized module).
 
 from books2scrape_etl_spark.functions.agg import oracle_sum_exact
 
+SESSION_GAP_S = 21_600  # 6 h: the events table is sparse (~8 ev/user/day);
+# a web-style 30-min gap degenerates to one event per session here,
+# while 6 h yields multi-event sessions that actually exercise the op.
+# Shared by query_defs13 (sessionize_batch family) and query_defs14
+# (session_paths) — lives here so either module is directly importable.
+
 OHLC_SQL = f"""
 WITH e AS (
   SELECT event_type, value,

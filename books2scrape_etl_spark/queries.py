@@ -46,6 +46,7 @@ from books2scrape_etl_spark import query_defs10  # noqa: E402,F401  (wraps earli
 from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs13  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs14  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -88,9 +89,12 @@ from books2scrape_etl_spark import query_defs13  # noqa: E402,F401
 # gini_diversity, source_overlap, feature_hashing, grouped_regression,
 # quantile_normalize_scale, stream_static_join — builder-sim green at
 # both SFs in the r7 definitive sweeps, zero driver rows yet; pack
-# into 2-3 suites if slots run short, the established pattern) and
-# the 4 late-r7 wave-13 qnames (sessionize_batch, event_transitions,
-# skyline_pareto, graph_triangles — query_defs13.py, same standing).
+# into 2-3 suites if slots run short, the established pattern), the
+# 4 late-r7 wave-13 qnames (sessionize_batch, event_transitions,
+# skyline_pareto, graph_triangles — query_defs13.py, same standing),
+# and the 7 wave-14 qnames (assoc_rules, mv_incremental, chi_square,
+# acf_lags, ab_lift, session_paths, inverted_index — query_defs14.py,
+# builder-sim green at both SFs in r7, zero driver rows yet).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)

@@ -23,17 +23,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.oracle_shared import SESSION_GAP_S as _SESSION_GAP_S
 from books2scrape_etl_spark.queries import register
 
 # ---------------------------------------------------------------------
 # sessionize_batch — gap-based sessionization (the batch twin of the
 # streaming session_window path, and the form every event warehouse
 # materializes nightly: lag -> new-session flag -> running sum id).
+# Gap constant shared with query_defs14.session_paths via
+# oracle_shared (cycle-free home).
 # ---------------------------------------------------------------------
-
-_SESSION_GAP_S = 21_600  # 6 h: the events table is sparse (~8 ev/user/day);
-# a web-style 30-min gap degenerates to one event per session here,
-# while 6 h yields multi-event sessions that actually exercise the op
 
 _SESSIONIZE_SQL = f"""
 WITH e AS (
