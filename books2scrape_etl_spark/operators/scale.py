@@ -140,6 +140,70 @@ def percent_rank_scale(
     )
 
 
+def prefix_sums_scale(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running SUMs over a total order WITHOUT a single-task
+    window — the 100 TB replacement for
+    ``sum(x) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)``.
+
+    Same two-phase construction as :func:`dense_ids_scale`:
+
+    1. range-partition on ``order_cols`` (partition i's keys precede
+       partition i+1's), cumulative-sum each ``sum_cols`` within each
+       partition;
+    2. collect only the per-partition TOTALS (one tiny row per
+       partition), prefix-sum them on the driver, broadcast the offsets
+       back: running = offset[pid] + local_running.
+
+    Integer sums only (the caller guarantees BIGINT columns): integer
+    addition is associative, so the result is bit-identical to the
+    exact global window and the same SQL oracle verifies both forms.
+    ``order_cols`` must be a total order (include a tiebreak key) for
+    the row-frame cumulative to be deterministic.
+    """
+    order = [to_col(c).asc_nulls_first() for c in order_cols]
+    rp = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    staged = rp.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = staged
+    for c in sum_cols:
+        cum = cum.withColumn(f"__cum_{c}", F.sum(to_col(c)).over(w))
+    # persist before the totals action (boundary-resample hazard
+    # documented in dense_ids_scale)
+    cum = cum.persist()
+    totals = sorted(
+        (r["__pid"], tuple(r[f"t_{c}"] for c in sum_cols))
+        for r in cum.groupBy("__pid")
+        .agg(*[F.sum(to_col(c)).alias(f"t_{c}") for c in sum_cols])
+        .collect()
+    )
+    offsets, acc = [], [0] * len(sum_cols)
+    for pid, ts in totals:
+        offsets.append((pid, *acc))
+        acc = [a + (t or 0) for a, t in zip(acc, ts)]
+    spark = df.sparkSession
+    off_schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = cum.join(F.broadcast(off_df), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"__off_{c}") + F.col(f"__cum_{c}")).cast("long")
+        ).drop(f"__cum_{c}", f"__off_{c}")
+    return out.drop("__pid")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

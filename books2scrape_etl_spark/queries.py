@@ -47,6 +47,7 @@ from books2scrape_etl_spark import query_defs11  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs13  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs14  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs15  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -92,9 +93,12 @@ from books2scrape_etl_spark import query_defs14  # noqa: E402,F401
 # into 2-3 suites if slots run short, the established pattern), the
 # 4 late-r7 wave-13 qnames (sessionize_batch, event_transitions,
 # skyline_pareto, graph_triangles — query_defs13.py, same standing),
-# and the 7 wave-14 qnames (assoc_rules, mv_incremental, chi_square,
+# the 7 wave-14 qnames (assoc_rules, mv_incremental, chi_square,
 # acf_lags, ab_lift, session_paths, inverted_index — query_defs14.py,
-# builder-sim green at both SFs in r7, zero driver rows yet).
+# builder-sim green at both SFs in r7, zero driver rows yet), and the
+# 6 wave-15 qnames (graph_bfs, rfm_segments, benford_digits,
+# hll_distinct, ks_test, pca_gram — query_defs15.py, same standing;
+# budget graph_bfs ~11 s at sf0.1, the pagerank-class cost).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
