@@ -48,6 +48,7 @@ from books2scrape_etl_spark import query_defs12  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs13  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs14  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs15  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs16  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -98,7 +99,9 @@ from books2scrape_etl_spark import query_defs15  # noqa: E402,F401
 # builder-sim green at both SFs in r7, zero driver rows yet), and the
 # 6 wave-15 qnames (graph_bfs, rfm_segments, benford_digits,
 # hll_distinct, ks_test, pca_gram — query_defs15.py, same standing;
-# budget graph_bfs ~11 s at sf0.1, the pagerank-class cost).
+# budget graph_bfs ~11 s at sf0.1, the pagerank-class cost), and the
+# 3 wave-16 qnames (ts_interp, graph_walks, welch_ttest —
+# query_defs16.py, same standing; graph_walks ~9 s at sf0.1).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)

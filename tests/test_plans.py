@@ -144,6 +144,13 @@ def test_no_unbounded_global_window_any_plan(registry_plans):
         "join_fact",  # build_dim surrogate keys (3 dims)
         "join_null_safe",  # build_dim surrogate key
         "surrogate_key",  # build_dim surrogate key
+        # exact ntile(5) x3 on the per-customer collapse (dim-sized by
+        # construction: orders reduce to one row per customer BEFORE the
+        # windows). Distributed twins of the construct are driver-green
+        # (percent_rank_scale via quantile_normalize_scale; quantile
+        # binning via bin_quantile_scale) — query_defs15 documents the
+        # 1e9-customer routing.
+        "rfm_segments",
     }
     for qname, plan in registry_plans.items():
         if qname in documented_exact_ok:
