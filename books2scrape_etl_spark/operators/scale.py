@@ -204,6 +204,61 @@ def prefix_sums_scale(
     return out.drop("__pid")
 
 
+def topk_per_group_scale(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k WITHOUT a per-group window sort over all rows —
+    the 100 TB replacement for
+    ``row_number() OVER (PARTITION BY g ORDER BY o DESC) <= k``
+    when groups are huge: the shuffle carries at most k rows per
+    (input-partition, group), never the group's full contents.
+
+    Two-phase construction:
+    1. within each INPUT partition, reduce every group to its local
+       top-k (one ObjectHashAggregate buffering partition-local rows:
+       ``slice(sort_array(collect_list(struct(order)), desc), 1, k)``);
+    2. regroup the ≤ k-per-partition candidates by group alone and
+       take the global top-k of the flattened candidates.
+
+    Ordering is DESC-lexicographic over ``order_cols`` in the given
+    field order (append a unique tiebreak column for determinism) —
+    bit-identical to the window form's ``ORDER BY o1 DESC, o2 DESC``,
+    so the same SQL oracle verifies both. Returns the group columns
+    plus ``rank`` (1-based) and the order columns.
+    """
+    groups = [to_col(c).alias(c) for c in group_cols]
+    o_struct = F.struct(*[to_col(c).alias(c) for c in order_cols])
+    local = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", *group_cols)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(o_struct), asc=False), 1, k
+            ).alias("__cand")
+        )
+    )
+    merged = (
+        local.select(*groups, F.explode("__cand").alias("__c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("__c"), asc=False), 1, k
+            ).alias("__top")
+        )
+    )
+    exploded = merged.select(
+        *group_cols, F.posexplode("__top").alias("__pos", "__c")
+    )
+    return exploded.select(
+        *group_cols,
+        (F.col("__pos") + 1).cast("bigint").alias("rank"),
+        *[F.col(f"__c.{c}").alias(c) for c in order_cols],
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

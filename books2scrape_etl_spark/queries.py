@@ -49,6 +49,7 @@ from books2scrape_etl_spark import query_defs13  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs14  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs15  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs16  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs17  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -101,7 +102,9 @@ from books2scrape_etl_spark import query_defs16  # noqa: E402,F401
 # hll_distinct, ks_test, pca_gram — query_defs15.py, same standing;
 # budget graph_bfs ~11 s at sf0.1, the pagerank-class cost), and the
 # 3 wave-16 qnames (ts_interp, graph_walks, welch_ttest —
-# query_defs16.py, same standing; graph_walks ~9 s at sf0.1).
+# query_defs16.py, same standing; graph_walks ~9 s at sf0.1), and
+# the 3 wave-17 qnames (topk_groups_scale, ts_trend, lorenz_deciles
+# — query_defs17.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
