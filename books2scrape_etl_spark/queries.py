@@ -51,6 +51,7 @@ from books2scrape_etl_spark import query_defs15  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs16  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs17  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs18  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs19  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -106,7 +107,10 @@ from books2scrape_etl_spark import query_defs18  # noqa: E402,F401
 # query_defs16.py, same standing; graph_walks ~9 s at sf0.1), and
 # the 3 wave-17 qnames (topk_groups_scale, ts_trend, lorenz_deciles
 # — query_defs17.py, same standing), and the 2 wave-18 qnames
-# (knn_confusion, class_weights — query_defs18.py, same standing).
+# (knn_confusion, class_weights — query_defs18.py, same standing),
+# and the 4 wave-19 qnames (funnel_conversion, cohort_retention,
+# profile_table, edit_distance_pairs — query_defs19.py, same
+# standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
