@@ -53,6 +53,7 @@ from books2scrape_etl_spark import query_defs17  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs18  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs19  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs20  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs21  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -113,7 +114,9 @@ from books2scrape_etl_spark import query_defs20  # noqa: E402,F401
 # profile_table, edit_distance_pairs — query_defs19.py, same
 # standing), and the 4 wave-20 qnames (distinctive_terms,
 # rolling_slope, funnel_latency, skew_profile — query_defs20.py,
-# same standing).
+# same standing), and the 4 wave-21 qnames (ship_delay,
+# interarrival_stats, dup_rate_by_source, dow_profile —
+# query_defs21.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
