@@ -55,6 +55,7 @@ from books2scrape_etl_spark import query_defs19  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs20  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs21  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs22  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs23  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -119,7 +120,9 @@ from books2scrape_etl_spark import query_defs22  # noqa: E402,F401
 # interarrival_stats, dup_rate_by_source, dow_profile —
 # query_defs21.py, same standing), and the 4 wave-22 qnames
 # (hhi_by_segment, pareto_coverage, ngram_containment, anomaly_days
-# — query_defs22.py, same standing).
+# — query_defs22.py, same standing), and the 4 wave-23 qnames
+# (calendar_dim, apportion_budget, winsorize, zone_maps —
+# query_defs23.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)

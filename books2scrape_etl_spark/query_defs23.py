@@ -1,0 +1,361 @@
+"""Wave-23 qnames (round 7, third continuation session): calendar
+dimension generation, largest-remainder budget apportionment,
+winsorized means via exact counting quantiles, and zone-map
+data-skipping statistics — warehouse-dimension, allocation,
+robust-statistics and lake-metadata primitives.
+
+Placed past the 50-entry driver window; claims r8 slots together with
+the wave-12..22 sets listed in queries.py.
+
+Engine-parity posture: every decision is integer arithmetic.
+calendar_dim builds civil dates by adding exact epoch-day counts to
+the DATE '1970-01-01' literal (no session-TZ-sensitive timestamp→date
+cast anywhere) and compares them as strings; apportionment seats are
+(N·cnt) DIV total + a largest-remainder bonus ranked on exact
+(N·cnt) % total; winsorize clamps exact BIGINT cents to counting
+quantiles (smallest value whose cumulative count reaches ⌈p·n⌉ — no
+interpolated doubles), with means as single mirrored BIGINT→double
+divisions; zone_maps is min/max/count over mirrored epoch-day ints.
+
+Scale posture (local[32] today, 1000 executors tomorrow):
+
+- **calendar_dim**: bounds come from ONE map-side-combining 1-row
+  aggregate; the grid explodes from that row (≤ tens of thousands of
+  rows for any warehouse horizon — a dimension, not a fact). Field
+  derivation is per-row date math, no shuffle after the explode.
+- **apportion_budget**: the fact collapses to |segments|·|priorities|
+  cells in one broadcast-join aggregate; the remainder ranking
+  windows over those ~25 rows (dim-sized — the documented exemption
+  to the no-global-window rule).
+- **winsorize**: quantile cuts come from the per-(group, cents)
+  DISTINCT-value rollup (≪ raw rows; the per-group cumulative window
+  sorts value-cardinality, not fact-cardinality — swap in
+  prefix_sums_scale if a group's distinct values ever rival the
+  fact), cuts broadcast back, and the clamped re-aggregate is one
+  map-side-combining pass over the raw scan.
+- **zone_maps**: ONE map-side-combining aggregate produces a
+  |buckets|-row metadata table — the parquet-footer min/max pattern
+  made queryable (this is literally what a 100 TB lake's file-skipping
+  index is); the skip decision is a per-row integer comparison.
+
+Reference parity: the reference ETL has no analytics of this family;
+these extend the engine per the round brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from books2scrape_etl_spark.io import read_table
+from books2scrape_etl_spark.queries import register
+
+# ---------------------------------------------------------------------
+# calendar_dim — generate the date dimension spanning the fact's
+# [min, max] order-date range (the star-schema warehouse primitive).
+# ---------------------------------------------------------------------
+
+_CALENDAR_SQL = """
+WITH b AS (
+  SELECT min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS mn,
+         max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS mx
+  FROM orders
+),
+g AS (SELECT unnest(generate_series(mn, mx)) AS d_day FROM b),
+d AS (SELECT d_day, DATE '1970-01-01' + CAST(d_day AS INTEGER) AS dt FROM g)
+SELECT d_day,
+       CAST(dt AS VARCHAR) AS d_date,
+       CAST(year(dt) AS BIGINT) AS d_year,
+       CAST(quarter(dt) AS BIGINT) AS d_quarter,
+       CAST(month(dt) AS BIGINT) AS d_month,
+       CAST(day(dt) AS BIGINT) AS d_dom,
+       CAST(isodow(dt) AS BIGINT) AS dow_iso,
+       CAST(CASE WHEN isodow(dt) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+       CAST(CASE WHEN dt = last_day(dt) THEN 1 ELSE 0 END AS BIGINT)
+         AS is_month_end
+FROM d ORDER BY d_day
+"""
+
+
+@register("calendar_dim", _CALENDAR_SQL)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension generation: one 1-row bounds aggregate over the
+    fact's epoch-day order dates (``CAST(ts AS LONG) DIV 86400`` — the
+    TZ-independent idiom), then ``explode(sequence(mn, mx))`` densifies
+    the span and per-row DATE math derives the civil fields. The date
+    itself is built by day-adding onto the DATE '1970-01-01' literal —
+    DateType arithmetic never consults the session timezone, so the
+    query is driver-session-proof without touching session confs.
+    ``weekday()+1`` is ISO dow (Monday=1), mirroring DuckDB's
+    ``isodow``; flags are 0/1 BIGINT per the no-nullable-boolean rule.
+
+    Scale: a dimension build — the grid is span-days rows (≤ ~37k for
+    a century), exploded from one row; at any fact scale this cost is
+    constant."""
+    o = read_table(spark, "orders", sf_dir)
+    day = F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+    bounds = o.agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
+    grid = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d_day"))
+    dt = F.date_add(F.to_date(F.lit("1970-01-01")), F.col("d_day").cast("int"))
+    return (
+        grid.withColumn("dt", dt)
+        .select(
+            "d_day",
+            F.col("dt").cast("string").alias("d_date"),
+            F.year("dt").cast("bigint").alias("d_year"),
+            F.quarter("dt").cast("bigint").alias("d_quarter"),
+            F.month("dt").cast("bigint").alias("d_month"),
+            F.dayofmonth("dt").cast("bigint").alias("d_dom"),
+            (F.weekday("dt") + F.lit(1)).cast("bigint").alias("dow_iso"),
+            (F.weekday("dt") >= F.lit(5)).cast("bigint").alias("is_weekend"),
+            (F.col("dt") == F.last_day("dt")).cast("bigint").alias("is_month_end"),
+        )
+        .orderBy("d_day")
+    )
+
+
+# ---------------------------------------------------------------------
+# apportion_budget — largest-remainder (Hamilton) integer apportionment
+# of a global sampling budget across cells, proportional to volume.
+# ---------------------------------------------------------------------
+
+_APPORTION_N = 10_000  # seats to hand out (e.g. a labeling budget)
+
+_APPORTION_SQL = f"""
+WITH cells AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT *, SUM(cnt) OVER () AS total,
+         ({_APPORTION_N} * cnt) // SUM(cnt) OVER () AS seat0,
+         ({_APPORTION_N} * cnt) % SUM(cnt) OVER () AS rem
+  FROM cells
+),
+r AS (
+  SELECT *,
+         {_APPORTION_N} - SUM(seat0) OVER () AS deficit,
+         ROW_NUMBER() OVER (
+           ORDER BY rem DESC, c_mktsegment, o_orderpriority) AS rk
+  FROM t
+)
+SELECT c_mktsegment, o_orderpriority, cnt,
+       CAST(seat0 AS BIGINT) AS seat0, CAST(rem AS BIGINT) AS remainder,
+       CAST(seat0 + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS seats
+FROM r ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+@register("apportion_budget", _APPORTION_SQL)
+def q_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment: split an integer budget of
+    {n} seats across (segment × priority) cells proportional to order
+    volume so the seats sum EXACTLY to the budget (floor quotas +1 for
+    the cells with the largest remainders, ties broken by cell key).
+    This is how a training-data pipeline turns "sample 10k docs,
+    stratified like the corpus" into per-cell integer take-counts with
+    no drift — all arithmetic is BIGINT ((N·cnt) DIV total and
+    (N·cnt) % total), nothing is rounded.
+
+    Scale: the fact collapses through a broadcast dim join into one
+    map-side-combining aggregate (~25 cells); the remainder ranking
+    windows over that dim-sized frame only.""".format(n=_APPORTION_N)
+    o = read_table(spark, "orders", sf_dir)
+    c = read_table(spark, "customer", sf_dir)
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy()
+    t = cells.withColumn("total", F.sum("cnt").over(w_all)).select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "cnt",
+        F.expr(f"({_APPORTION_N} * cnt) DIV total").alias("seat0"),
+        F.expr(f"({_APPORTION_N} * cnt) % total").alias("rem"),
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.col("rem").desc(), "c_mktsegment", "o_orderpriority"
+    )
+    r = t.withColumn(
+        "deficit", F.lit(_APPORTION_N) - F.sum("seat0").over(w_all)
+    ).withColumn("rk", F.row_number().over(w_rank))
+    return r.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "cnt",
+        F.col("seat0").cast("bigint").alias("seat0"),
+        F.col("rem").cast("bigint").alias("remainder"),
+        (F.col("seat0") + (F.col("rk") <= F.col("deficit")).cast("bigint"))
+        .cast("bigint")
+        .alias("seats"),
+    ).orderBy("c_mktsegment", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------
+# winsorize — per-group winsorized mean with EXACT counting quantiles
+# (no interpolation: cut = smallest value whose cumulative count
+# reaches ceil(p*n), computed on the distinct-value rollup).
+# ---------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH cents AS (
+  SELECT l_returnflag AS grp,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+vc AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM cents GROUP BY 1, 2),
+cum AS (
+  SELECT grp, v, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM vc
+),
+cuts AS (
+  SELECT grp,
+         min(CASE WHEN 20 * cum >= n THEN v END) AS lo,
+         min(CASE WHEN 20 * cum >= 19 * n THEN v END) AS hi
+  FROM cum GROUP BY 1
+),
+cl AS (
+  SELECT c.grp, c.v, k.lo, k.hi,
+         CASE WHEN c.v < k.lo THEN k.lo
+              WHEN c.v > k.hi THEN k.hi ELSE c.v END AS w
+  FROM cents c JOIN cuts k ON c.grp = k.grp
+)
+SELECT grp AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS cut_lo_cents,
+       CAST(min(hi) AS BIGINT) AS cut_hi_cents,
+       CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents,
+       CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_winsor_cents
+FROM cl GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("winsorize", _WINSOR_SQL)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) per-group price means with EXACT
+    counting quantiles: the cut is the smallest cents value whose
+    cumulative count reaches ⌈p·n⌉ — the threshold test is the
+    integer comparison 20·cum ≥ p·20·n, so no double ever enters the
+    decision (contrast ``group_percentiles``' interpolated form). The
+    clamp then runs over exact BIGINT cents and both means are single
+    mirrored int→double divisions.
+
+    Scale: the cumulative window runs on the per-(group, value)
+    DISTINCT rollup — value-cardinality rows, not fact rows (swap in
+    the prefix_sums_scale offsets pattern if a group's distinct values
+    ever rival the fact); the 3-row cut frame broadcasts back onto the
+    raw scan for one map-side-combining clamp-and-aggregate pass."""
+    li = read_table(spark, "lineitem", sf_dir)
+    cents = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    vc = cents.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = vc.groupBy("grp").agg(F.sum("c").alias("n"))
+    cum = vc.withColumn("cum", F.sum("c").over(w_cum)).join(
+        F.broadcast(totals), "grp"
+    )
+    cuts = cum.groupBy("grp").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("n"), F.col("v"))).alias("lo"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v"))).alias("hi"),
+    )
+    cl = cents.join(F.broadcast(cuts), "grp").withColumn(
+        "w",
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v")),
+    )
+    n = F.count(F.lit(1))
+    return (
+        cl.groupBy(F.col("grp").alias("l_returnflag"))
+        .agg(
+            n.alias("n"),
+            F.min("lo").alias("cut_lo_cents"),
+            F.min("hi").alias("cut_hi_cents"),
+            F.sum((F.col("v") < F.col("lo")).cast("bigint")).alias("n_clamped_lo"),
+            F.sum((F.col("v") > F.col("hi")).cast("bigint")).alias("n_clamped_hi"),
+            (F.sum("v").cast("double") / n.cast("double")).alias("mean_cents"),
+            (F.sum("w").cast("double") / n.cast("double")).alias(
+                "mean_winsor_cents"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------
+# zone_maps — per-bucket min/max/count data-skipping statistics plus
+# the skip decision for a date predicate (the parquet-footer pattern
+# made queryable).
+# ---------------------------------------------------------------------
+
+_ZONE_BUCKET = 4096  # orderkeys per zone (a "file" in the lake analogy)
+_ZONE_PRED_DAY = 10957  # epoch day of 2000-01-01 (the probe predicate)
+
+_ZONE_SQL = f"""
+WITH z AS (
+  SELECT l_orderkey // {_ZONE_BUCKET} AS zone_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS min_day,
+         max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS max_day
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id, n_rows,
+       CAST(min_day AS BIGINT) AS min_day, CAST(max_day AS BIGINT) AS max_day,
+       CAST(CASE WHEN max_day < {_ZONE_PRED_DAY} THEN 1 ELSE 0 END AS BIGINT)
+         AS skippable
+FROM z ORDER BY zone_id
+"""
+
+
+@register("zone_maps", _ZONE_SQL)
+def q_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map construction: per ``l_orderkey DIV {b}`` bucket (a
+    stand-in for one lake file), min/max ship epoch-day + row count —
+    exactly the footer statistics a 100 TB parquet lake uses for file
+    skipping — plus the skip verdict for the probe predicate
+    ``l_shipdate ≥ 2000-01-01`` (epoch day {d}, an exact integer
+    comparison). Orderkey correlates with order date in this data
+    model, so the map shows real pruning power; the same query over a
+    shuffled key column is the negative control (zones all overlap).
+
+    Scale: ONE map-side-combining aggregate; output is metadata-sized
+    (|facts| / {b} rows). At a real lake this runs per-file from
+    footers alone — the point of the demo is that the engine can
+    rebuild / audit that index with one scan.""".format(
+        b=_ZONE_BUCKET, d=_ZONE_PRED_DAY
+    )
+    li = read_table(spark, "lineitem", sf_dir)
+    day = F.expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 86400")
+    z = li.groupBy(
+        F.expr(f"l_orderkey DIV {_ZONE_BUCKET}").alias("zone_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(day).alias("min_day"),
+        F.max(day).alias("max_day"),
+    )
+    return z.select(
+        F.col("zone_id").cast("bigint").alias("zone_id"),
+        "n_rows",
+        F.col("min_day").cast("bigint").alias("min_day"),
+        F.col("max_day").cast("bigint").alias("max_day"),
+        (F.col("max_day") < F.lit(_ZONE_PRED_DAY)).cast("bigint").alias(
+            "skippable"
+        ),
+    ).orderBy("zone_id")

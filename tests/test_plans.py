@@ -4,6 +4,8 @@ filters, partition pruning, no accidental sort-merge or re-computed
 windows. These are the properties that keep the 100 TB posture honest;
 a code change that silently breaks one fails here, not in production."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -151,16 +153,41 @@ def test_no_unbounded_global_window_any_plan(registry_plans):
         # binning via bin_quantile_scale) — query_defs15 documents the
         # 1e9-customer routing.
         "rfm_segments",
+        # largest-remainder apportionment: the global SUM/ROW_NUMBER
+        # windows run over the (segment x priority) cell frame AFTER the
+        # fact collapses through a map-side-combining aggregate — input
+        # cardinality is the key-domain product (~25), invariant in fact
+        # size. Hamilton apportionment is inherently a total order over
+        # the cells; a fact-sized cell domain would need the
+        # prefix_sums_scale offsets pattern instead (query_defs23
+        # documents the routing).
+        "apportion_budget",
     }
     for qname, plan in registry_plans.items():
         if qname in documented_exact_ok:
             continue
         lines = plan.splitlines()
         for i, l in enumerate(lines):
-            # a partitioned window prints three bracket groups
-            # (`Window [exprs], [partExprs], [orderSpec]`); a
-            # partition-less one prints two
-            if "Window [" in l and l.count("], [") == 1:
+            # Bracket-group counting misreads partitioned-but-unordered
+            # windows (`Window [exprs], [partExprs]` has one separator,
+            # same as an unpartitioned ordered one) and misses global
+            # unordered ones (`Window [exprs]`, zero). Parse the
+            # windowspecdefinition args instead: partition columns come
+            # first and are bare refs; a spec whose first arg is an
+            # order spec (`... ASC/DESC ...`) or the frame itself has
+            # NO partitioning.
+            if "Window [" not in l:
+                continue
+            partitionless = False
+            for spec in re.findall(r"windowspecdefinition\(([^()]*)", l):
+                first = spec.split(",")[0].strip()
+                if (
+                    first.startswith("specifiedwindowframe")
+                    or " ASC" in first
+                    or " DESC" in first
+                ):
+                    partitionless = True
+            if partitionless:
                 nxt = lines[i + 1] if i + 1 < len(lines) else ""
                 assert "TakeOrderedAndProject" in nxt or "GlobalLimit" in nxt, (
                     f"{qname}: partition-less Window over unbounded input:\n{l}\n{nxt}"
