@@ -56,6 +56,10 @@ from books2scrape_etl_spark import query_defs20  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs21  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs22  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs23  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs24  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs25  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs26  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs27  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -122,7 +126,15 @@ from books2scrape_etl_spark import query_defs23  # noqa: E402,F401
 # (hhi_by_segment, pareto_coverage, ngram_containment, anomaly_days
 # — query_defs22.py, same standing), and the 4 wave-23 qnames
 # (calendar_dim, apportion_budget, winsorize, zone_maps —
-# query_defs23.py, same standing).
+# query_defs23.py, same standing), and the 4 wave-24 qnames
+# (rank_correlation, weighted_quantiles, growth_mom_yoy, mode_stats
+# — query_defs24.py, same standing), and the 4 wave-25 qnames
+# (attribution_last_touch, streak_islands, decile_transition,
+# reconcile_daily — query_defs25.py, same standing), and the 4
+# wave-26 qnames (twap_value, hazard_curve, table_checksum,
+# topk_with_ties — query_defs26.py, same standing), and the 4
+# wave-27 qnames (rate_limit_keys, ttr_stats, group_split,
+# histogram_2d — query_defs27.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
