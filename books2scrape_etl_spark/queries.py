@@ -60,6 +60,8 @@ from books2scrape_etl_spark import query_defs24  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs25  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs26  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs27  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs28  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs29  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -134,7 +136,11 @@ from books2scrape_etl_spark import query_defs27  # noqa: E402,F401
 # wave-26 qnames (twap_value, hazard_curve, table_checksum,
 # topk_with_ties — query_defs26.py, same standing), and the 4
 # wave-27 qnames (rate_limit_keys, ttr_stats, group_split,
-# histogram_2d — query_defs27.py, same standing).
+# histogram_2d — query_defs27.py, same standing), and the 4 wave-28
+# qnames (seasonal_index, discount_qty_corr, adoption_curve,
+# max_concurrency — query_defs28.py, same standing), and the 4
+# wave-29 qnames (burstiness, max_drawdown, cdf_probes, rank_shift
+# — query_defs29.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
