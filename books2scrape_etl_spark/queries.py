@@ -62,6 +62,7 @@ from books2scrape_etl_spark import query_defs26  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs27  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs28  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs29  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs30  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -140,7 +141,10 @@ from books2scrape_etl_spark import query_defs29  # noqa: E402,F401
 # qnames (seasonal_index, discount_qty_corr, adoption_curve,
 # max_concurrency — query_defs28.py, same standing), and the 4
 # wave-29 qnames (burstiness, max_drawdown, cdf_probes, rank_shift
-# — query_defs29.py, same standing).
+# — query_defs29.py, same standing), and the 2 wave-30 qnames
+# (bootstrap_se, dedup_keep_best — query_defs30.py, same standing;
+# landed after this round's definitive dual-SF sweeps, swept green
+# per-wave on top).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
