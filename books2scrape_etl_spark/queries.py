@@ -63,6 +63,8 @@ from books2scrape_etl_spark import query_defs27  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs28  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs29  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs30  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs31  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs32  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -144,7 +146,10 @@ from books2scrape_etl_spark import query_defs30  # noqa: E402,F401
 # — query_defs29.py, same standing), and the 2 wave-30 qnames
 # (bootstrap_se, dedup_keep_best — query_defs30.py, same standing;
 # landed after this round's definitive dual-SF sweeps, swept green
-# per-wave on top).
+# per-wave on top), and the 3 wave-31 qnames (k_anonymity,
+# data_freshness, negative_sampling — query_defs31.py, same
+# standing), and the 2 wave-32 qnames (fd_audit, change_point —
+# query_defs32.py, same standing).
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
     # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
