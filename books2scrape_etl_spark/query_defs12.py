@@ -73,8 +73,8 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the grid is ``span_hours`` rows per user — generated inside
     the task from one (min, max) row, never shuffled wide; the LOCF
     window is per-user (partitioned, no global sort). The user_id
-    filter (% {mod}) bounds the demo's grid; remove it and the plan
-    shape is unchanged.""".format(mod=_GAPFILL_USER_MOD)
+    filter (% 29) bounds the demo's grid; remove it and the plan
+    shape is unchanged."""
     ev = read_table(spark, "events", sf_dir).where(
         F.col("user_id") % _GAPFILL_USER_MOD == 0
     )
@@ -253,7 +253,7 @@ QUALIFY rnk <= {_PMI_TOPK}
 
 @register("pmi_collocations", _PMI_SQL)
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} collocations by pointwise mutual information over
+    """Top-30 collocations by pointwise mutual information over
     adjacent-token bigrams (unigram marginals over the whole corpus).
     Bigrams come from zipping the token array with its own tail —
     winnowing's shifted-arrays pattern, generated inside the scan
@@ -262,7 +262,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two hash aggregations (unigrams, bigrams) + two equi-joins
     on token keys; corpus totals attach via 1-row broadcast. Top-k is
-    TakeOrderedAndProject, never a global sort.""".format(k=_PMI_TOPK)
+    TakeOrderedAndProject, never a global sort."""
     docs = read_table(spark, "documents", sf_dir)
     toks = docs.select(
         F.split(normalize_for_fingerprint(F.col("text")), " ").alias("l")

@@ -70,14 +70,12 @@ FROM s GROUP BY user_id, session_id
 @register("sessionize_batch", _SESSIONIZE_SQL)
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (new session when the gap to the
-    previous event exceeds {gap} s, strictly): lag -> boolean flag ->
+    previous event exceeds 21600 s, strictly): lag -> boolean flag ->
     running sum assigns dense per-user session ids, then one aggregate
     emits per-session stats. Both windows are PARTITIONED by user
     (lint-clean: no global sort); the ordering (es, event_id) is a
     total order, so session ids are deterministic. All outputs are
-    exact BIGINTs — the epoch math never touches floats.""".format(
-        gap=_SESSION_GAP_S
-    )
+    exact BIGINTs — the epoch math never touches floats."""
     ev = read_table(spark, "events", sf_dir).select(
         "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("es")
     )

@@ -95,7 +95,7 @@ FROM d GROUP BY dist ORDER BY dist
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop-distance profile from the 3 lowest-id parts on the
     co-purchase graph (parts bought together in one order), bounded at
-    {h} hops: per-distance reachable-node counts with min/max node.
+    4 hops: per-distance reachable-node counts with min/max node.
 
     The frontier loop is the textbook distributed BFS: at hop h the
     frontier joins the (symmetrized) edge table, anti-joins the
@@ -104,7 +104,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan from growing with the iteration count (the CC-loop
     pattern, dedupe.py). The oracle's recursive CTE dedupes (node,
     dist) pairs per level, so min(dist) is the same BFS distance.
-    All outputs are exact BIGINTs.""".format(h=_BFS_HOPS)
+    All outputs are exact BIGINTs."""
     from books2scrape_etl_spark.operators.graph import copurchase_edges
 
     li = read_table(spark, "lineitem", sf_dir)
@@ -348,16 +348,14 @@ FROM events GROUP BY event_type ORDER BY event_type
 @register("hll_distinct", _HLL_SQL)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users: exact COUNT(DISTINCT) alongside
-    approx_count_distinct (Spark's HyperLogLog++, rsd={rsd}). The
-    emitted flag is |approx - exact| <= {tol} * exact; the oracle
+    approx_count_distinct (Spark's HyperLogLog++, rsd=0.02). The
+    emitted flag is |approx - exact| <= 0.06 * exact; the oracle
     asserts the flag is 1 against the exact count it computes itself,
     so an out-of-bound sketch is a hash mismatch, not a silent pass.
 
     The approx path is the 100 TB one: HLL registers merge
     associatively (map-side partials, no shuffle of raw ids); the
-    exact count here exists only to power the bound check.""".format(
-        rsd=_HLL_RSD, tol=_HLL_TOL
-    )
+    exact count here exists only to power the bound check."""
     ev = read_table(spark, "events", sf_dir)
     g = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),

@@ -215,7 +215,7 @@ SELECT seed, step, node FROM walk ORDER BY seed, step
 
 @register("graph_walks", _WALKS_SQL)
 def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-{steps} walks from the {seeds} lowest-id parts on the
+    """Length-6 walks from the 5 lowest-id parts on the
     co-purchase graph. The step choice is hash-deterministic
     (portable_hash32 of "node_step" mod degree into the sorted
     neighbor array), which makes a sampling operator value-verifiable:
@@ -225,7 +225,7 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     each step joins the walker frontier (walks-sized) against it —
     broadcast while walkers are few, shuffle-hash keyed by node at
     production walker counts (the graph_bfs posture). All outputs are
-    exact BIGINTs.""".format(steps=_WALK_STEPS, seeds=_WALK_SEEDS)
+    exact BIGINTs."""
     from books2scrape_etl_spark.operators.graph import copurchase_edges
 
     li = read_table(spark, "lineitem", sf_dir)

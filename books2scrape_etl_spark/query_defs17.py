@@ -67,15 +67,13 @@ FROM r WHERE rank <= {_TOPK_K} ORDER BY event_type, rank
 
 @register("topk_groups_scale", _TOPK_SQL)
 def q_topk_groups_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} users by total spend per event_type WITHOUT a per-group
+    """Top-5 users by total spend per event_type WITHOUT a per-group
     window over all users: local top-k inside each input partition,
     then a global merge of the ≤ k-per-partition candidates
     (operators/scale.py:topk_per_group_scale). The shuffle carries at
     most k rows per (partition, group) — the property that survives a
     billion-user group. (cents DESC, user_id DESC) is a total order,
-    so the result is bit-identical to the oracle's window form.""".format(
-        k=_TOPK_K
-    )
+    so the result is bit-identical to the oracle's window form."""
     from books2scrape_etl_spark.operators.scale import topk_per_group_scale
 
     ev = read_table(spark, "events", sf_dir)

@@ -75,7 +75,7 @@ FROM pred GROUP BY 1, 2 ORDER BY 1, 2
 
 @register("knn_confusion", _KNN_SQL)
 def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{k}-NN majority-vote classification of every {mod}-th embedding
+    """5-NN majority-vote classification of every 16-th embedding
     against the rest (leave-self-out), rolled up to the label confusion
     matrix — the label-quality / separability audit for a labeled
     embedding table.
@@ -83,9 +83,7 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Neighbor selection is the sim_cosine contract verbatim (rank on
     round-6 cosine with vec_id tiebreak); the vote winner breaks ties
     on (votes DESC, label ASC) so prediction is total-order
-    deterministic; the confusion matrix is exact BIGINT counts.""".format(
-        k=_KNN_K, mod=_KNN_QUERY_MOD
-    )
+    deterministic; the confusion matrix is exact BIGINT counts."""
     from books2scrape_etl_spark.operators.similarity import cosine
 
     emb = read_table(spark, "embeddings", sf_dir)

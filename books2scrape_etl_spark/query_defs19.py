@@ -353,15 +353,15 @@ ORDER BY doc_id_a, doc_id_b
 @register("edit_distance_pairs", _ED_SQL)
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching: candidate pairs share their first
-    {blk}-char prefix (equi-join — candidates only, never all-pairs),
-    and survive if the Levenshtein distance of their {pfx}-char
-    prefixes is <= {mx}. Spark evaluates the threshold form
+    16-char prefix (equi-join — candidates only, never all-pairs),
+    and survive if the Levenshtein distance of their 40-char
+    prefixes is <= 6. Spark evaluates the threshold form
     (levenshtein(l, r, t) = -1 when the distance exceeds t) so
     non-matches abandon after an O(len * t) band instead of the full
     O(len^2) table; the oracle computes the plain metric and filters
     — identical surviving pairs and distances (Wagner-Fischer in both
     engines; parity additionally pinned by a pure-Python
-    re-derivation test).""".format(blk=_ED_BLOCK, pfx=_ED_PREFIX, mx=_ED_MAX)
+    re-derivation test)."""
     docs = read_table(spark, "documents", sf_dir)
     p = docs.select(
         "doc_id",

@@ -89,16 +89,14 @@ FROM r WHERE rank <= {_DT_TOPK} ORDER BY source, rank
 
 @register("distinctive_terms", _DT_SQL)
 def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} distinctive tokens per source, ranked by frequency lift
+    """Top-10 distinctive tokens per source, ranked by frequency lift
     (c_st/T_s) / (c_t/T) — rearranged to the all-integer cross product
     (c_st*T) / (T_s*c_t) so the score is ONE mirrored BIGINT division
     (no logarithm; the log-lift would rank identically). Tokens below
-    {mn} occurrences in a source are floored out; ties break on the
+    5 occurrences in a source are floored out; ties break on the
     token string, so the per-source rank is total-order
     deterministic — the corpus-drift screen that surfaces what a feed
-    talks about relative to the whole corpus.""".format(
-        k=_DT_TOPK, mn=_DT_MIN_COUNT
-    )
+    talks about relative to the whole corpus."""
     from books2scrape_etl_spark.operators.text import normalize_for_fingerprint
 
     docs = read_table(spark, "documents", sf_dir)

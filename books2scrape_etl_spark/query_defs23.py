@@ -151,7 +151,7 @@ FROM r ORDER BY c_mktsegment, o_orderpriority
 @register("apportion_budget", _APPORTION_SQL)
 def q_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder apportionment: split an integer budget of
-    {n} seats across (segment × priority) cells proportional to order
+    10000 seats across (segment × priority) cells proportional to order
     volume so the seats sum EXACTLY to the budget (floor quotas +1 for
     the cells with the largest remainders, ties broken by cell key).
     This is how a training-data pipeline turns "sample 10k docs,
@@ -161,7 +161,7 @@ def q_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact collapses through a broadcast dim join into one
     map-side-combining aggregate (~25 cells); the remainder ranking
-    windows over that dim-sized frame only.""".format(n=_APPORTION_N)
+    windows over that dim-sized frame only."""
     o = read_table(spark, "orders", sf_dir)
     c = read_table(spark, "customer", sf_dir)
     cells = (
@@ -326,21 +326,19 @@ FROM z ORDER BY zone_id
 
 @register("zone_maps", _ZONE_SQL)
 def q_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map construction: per ``l_orderkey DIV {b}`` bucket (a
+    """Zone-map construction: per ``l_orderkey DIV 4096`` bucket (a
     stand-in for one lake file), min/max ship epoch-day + row count —
     exactly the footer statistics a 100 TB parquet lake uses for file
     skipping — plus the skip verdict for the probe predicate
-    ``l_shipdate ≥ 2000-01-01`` (epoch day {d}, an exact integer
+    ``l_shipdate ≥ 2000-01-01`` (epoch day 10957, an exact integer
     comparison). Orderkey correlates with order date in this data
     model, so the map shows real pruning power; the same query over a
     shuffled key column is the negative control (zones all overlap).
 
     Scale: ONE map-side-combining aggregate; output is metadata-sized
-    (|facts| / {b} rows). At a real lake this runs per-file from
+    (|facts| / 4096 rows). At a real lake this runs per-file from
     footers alone — the point of the demo is that the engine can
-    rebuild / audit that index with one scan.""".format(
-        b=_ZONE_BUCKET, d=_ZONE_PRED_DAY
-    )
+    rebuild / audit that index with one scan."""
     li = read_table(spark, "lineitem", sf_dir)
     day = F.expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 86400")
     z = li.groupBy(

@@ -75,8 +75,8 @@ FROM r GROUP BY 1 ORDER BY 1
 
 @register("rate_limit_keys", _RATE_SQL)
 def q_rate_limit_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key rate limiting: every user keeps at most {k} events —
-    the ones with the top-{k} portable md5 hashes (event_id tiebreak),
+    """Hot-key rate limiting: every user keeps at most 40 events —
+    the ones with the top-40 portable md5 hashes (event_id tiebreak),
     a deterministic, partition-invariant choice that needs no
     timestamps and never changes under reprocessing. Reported as
     per-type before/after counts + keep share (mirrored division).
@@ -85,7 +85,7 @@ def q_rate_limit_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the keep-set comes from topk_per_group_scale — the shuffle
     carries at most k candidate rows per (input-partition, user),
     never a hot user's full history (the whole point when one key has
-    1e8 events); the rollups are |types|-row frames.""".format(k=_RATE_K)
+    1e8 events); the rollups are |types|-row frames."""
     from books2scrape_etl_spark.operators.scale import topk_per_group_scale
 
     ev = read_table(spark, "events", sf_dir)
@@ -102,15 +102,20 @@ def q_rate_limit_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     before = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
     after = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_after"))
+    # LEFT join: a type whose every event falls outside each user's
+    # top-k cap has no `after` row but must still report n_after = 0
+    # (the oracle computes both counts from one scan and always emits
+    # the type).
     return (
-        before.join(after, "event_type")
+        before.join(after, "event_type", "left")
         .select(
             "event_type",
             "n_before",
-            "n_after",
-            (F.col("n_after").cast("double") / F.col("n_before").cast("double")).alias(
-                "keep_share"
-            ),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            (
+                F.coalesce("n_after", F.lit(0)).cast("double")
+                / F.col("n_before").cast("double")
+            ).alias("keep_share"),
         )
         .orderBy("event_type")
     )

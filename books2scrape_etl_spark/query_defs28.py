@@ -283,7 +283,7 @@ bounds AS (
   FROM sess
   UNION ALL
   SELECT user_id, session_id, end_es + 1 AS es, CAST(-1 AS BIGINT) AS delta
-  FROM sess
+  FROM sess WHERE (end_es + 1) % 86400 <> 0
 ),
 carry AS (
   SELECT d.day, CAST(COUNT(*) AS BIGINT) AS carry_in
@@ -302,20 +302,20 @@ run AS (
   FROM bounds
 ),
 mx AS (SELECT day, CAST(max(cum) AS BIGINT) AS max_cum FROM run GROUP BY 1)
-SELECT mx.day,
+SELECT COALESCE(mx.day, c.day) AS day,
        CAST(COALESCE(c.carry_in, 0) AS BIGINT) AS carry_in,
        CAST(COALESCE(c.carry_in, 0)
-            + CASE WHEN mx.max_cum > 0 THEN mx.max_cum ELSE 0 END AS BIGINT)
-         AS max_concurrent
-FROM mx LEFT JOIN carry c ON mx.day = c.day
-ORDER BY mx.day
+            + CASE WHEN COALESCE(mx.max_cum, 0) > 0 THEN mx.max_cum ELSE 0 END
+         AS BIGINT) AS max_concurrent
+FROM mx FULL OUTER JOIN carry c ON mx.day = c.day
+ORDER BY 1
 """
 
 
 @register("max_concurrency", _CONCURRENCY_SQL)
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line maximum concurrent sessions per epoch-day, over the
-    sessionize_batch session construction (same {gap}s gap rule).
+    sessionize_batch session construction (same 21600s gap rule).
     Each session contributes +1 at start_es and −1 at end_es+1
     (active on the inclusive [start, end] second range); within a day
     the boundaries order by the integer (es, delta) key with −1
@@ -323,13 +323,16 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     true instantaneous concurrency and the max is order-independent.
     Sessions spanning midnight are carried into each covered day via
     an exploded day-range count, so day d's sweep starts at its true
-    baseline, not zero.
+    baseline, not zero. Two day-boundary rules keep that exact: a -1
+    landing exactly on a day boundary is suppressed (the session never
+    occupies that day, and the per-day sweep already restarts), and
+    the output day frame is the FULL OUTER join of boundary days with
+    carry days (a day fully inside a long session has no boundary
+    rows of its own).
 
     Scale: the sweep window partitions by DAY — bounded by one day's
     boundary traffic; carry-ins are a |days|-row aggregate; sessions
-    come from user-partitioned windows (lint-clean).""".format(
-        gap=SESSION_GAP_S
-    )
+    come from user-partitioned windows (lint-clean)."""
     ev = read_table(spark, "events", sf_dir).select(
         "user_id", "event_id", F.col("ts").cast("long").alias("es")
     )
@@ -356,7 +359,11 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_es").alias("es"),
         F.lit(1).cast("bigint").alias("delta"),
     ).unionByName(
-        sess.select(
+        # A -1 landing exactly on a day boundary ((end_es+1) % 86400 == 0)
+        # belongs to a day the session never occupies — the per-day sweep
+        # restarts there anyway, so emitting it would deflate that whole
+        # day's prefix by one. Suppress it.
+        sess.where((F.col("end_es") + 1) % 86400 != 0).select(
             "user_id",
             "session_id",
             (F.col("end_es") + 1).alias("es"),
@@ -386,14 +393,16 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").over(w_day).alias("cum"),
     )
     mx = run.groupBy("day").agg(F.max("cum").cast("bigint").alias("max_cum"))
+    # Full outer: a day fully inside a midnight-spanning session has
+    # carry_in > 0 but no boundary rows, so it exists only in `carry`.
     return (
-        mx.join(F.broadcast(carry), "day", "left")
+        mx.join(carry, "day", "full")
         .select(
             "day",
             F.coalesce("carry_in", F.lit(0)).cast("bigint").alias("carry_in"),
             (
                 F.coalesce("carry_in", F.lit(0))
-                + F.greatest(F.col("max_cum"), F.lit(0))
+                + F.greatest(F.coalesce("max_cum", F.lit(0)), F.lit(0))
             )
             .cast("bigint")
             .alias("max_concurrent"),

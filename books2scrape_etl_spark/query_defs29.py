@@ -298,7 +298,7 @@ ORDER BY rank_gain DESC, a.token
 def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending tokens: frequency rank in the first vs second half of
     the doc-id range (integer midpoint split), reported for tokens in
-    either half's top-{k}, with rank_gain = rank_h1 − rank_h2
+    either half's top-20, with rank_gain = rank_h1 − rank_h2
     (positive = climbing). Ranks are ROW_NUMBER over the exact
     (count DESC, token ASC) total order in both engines; the output
     order (rank_gain DESC, token) is total.
@@ -310,9 +310,7 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-half ranks are gid − (half's first gid − 1) — bit-identical
     to the oracle's per-half ROW_NUMBER. The top-k filter keeps the
     join and output top-k-sized; tokens in one half only drop out by
-    the inner join, BY DEFINITION on both sides.""".format(
-        k=_RANK_SHIFT_K
-    )
+    the inner join, BY DEFINITION on both sides."""
     docs = read_table(spark, "documents", sf_dir)
     from books2scrape_etl_spark.operators.scale import dense_ids_scale
     from books2scrape_etl_spark.operators.text import normalize_for_fingerprint

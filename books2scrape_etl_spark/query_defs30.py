@@ -100,7 +100,7 @@ GROUP BY fl.n, fl.mean_full
 @register("bootstrap_se", _BOOT_SQL)
 def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass deterministic Poisson bootstrap of the mean order
-    value: every (order, replica b<{B}) pair draws a weight from the
+    value: every (order, replica b<32) pair draws a weight from the
     Poisson(1) pmf via CASE buckets of the portable 32-bit md5 hash
     against python-precomputed integer thresholds — no RNG, no libm,
     reprocessing-stable. Replica means are single mirrored divisions
@@ -112,7 +112,7 @@ def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the B-way explode collapses map-side to 32 (Σw·c, Σw)
     cells — bootstrap-resampled datasets never materialize. This is
     how a 100 TB pipeline puts an error bar on a metric in one
-    scan.""".format(B=_BOOT_B)
+    scan."""
     o = read_table(spark, "orders", sf_dir)
     o2 = o.select(
         "o_orderkey",

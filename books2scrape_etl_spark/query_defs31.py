@@ -206,19 +206,19 @@ FROM j
 @register("negative_sampling", _NEG_SQL)
 def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for recommender training: each
-    ordering customer draws {k} candidate part keys from the part-key
+    ordering customer draws 5 candidate part keys from the part-key
     span via the portable 32-bit md5 hash of 'custkey:i' (no RNG —
     the same customer always draws the same negatives, so training
     runs are reproducible and incremental reprocessing is stable);
     candidates colliding with the customer's TRUE positives (distinct
     ordered parts) are counted out via a LEFT join on the composite
-    key. Summary row conserves: candidates = customers·{k} =
+    key. Summary row conserves: candidates = customers·5 =
     negatives + positive hits.
 
     Scale: candidates are k·|customers| rows regardless of fact size;
     the positives table is the DISTINCT (custkey, partkey) collapse
     of the fact; both sides hash on the same composite key — no
-    broadcast of anything fact-sized.""".format(k=_NEG_K)
+    broadcast of anything fact-sized."""
     o = read_table(spark, "orders", sf_dir)
     li = read_table(spark, "lineitem", sf_dir)
     p = read_table(spark, "part", sf_dir)
@@ -252,14 +252,18 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lo") + h32 % (F.col("hi") - F.col("lo") + 1)).alias("cand_part"),
         )
     )
+    # pos renames o_custkey -> pos_custkey: both sides of the cand/pos
+    # join derive from the same orders scan, and an o_custkey==o_custkey
+    # predicate would only work via the analyzer's ambiguous-self-join
+    # disambiguation (fragile under legacy analyzer settings).
     pos = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select("o_custkey", "l_partkey")
+        .select(F.col("o_custkey").alias("pos_custkey"), "l_partkey")
         .distinct()
     )
     j = cand.join(
         pos,
-        (cand["o_custkey"] == pos["o_custkey"])
+        (cand["o_custkey"] == pos["pos_custkey"])
         & (cand["cand_part"] == pos["l_partkey"]),
         "left",
     ).select(F.when(pos["l_partkey"].isNull(), 0).otherwise(1).alias("hit"))

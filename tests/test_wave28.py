@@ -105,23 +105,77 @@ def test_max_concurrency_brute_force(spark, sf_dir):
                 start = es
             prev = es
         sessions.append((start, prev))
-    # brute force: concurrency at each boundary instant, maxed per day
+    # brute force: per occupied day, max concurrency over the day-start
+    # instant plus every boundary instant falling inside the day
     points = sorted({s for s, _ in sessions} | {e + 1 for _, e in sessions})
-    per_day = {}
+    by_day = {}
     for t in points:
-        c = sum(1 for s, e in sessions if s <= t <= e)
-        d = t // 86400
-        per_day[d] = max(per_day.get(d, 0), c)
+        by_day.setdefault(t // 86400, []).append(t)
+    days = {d for s, e in sessions for d in range(s // 86400, e // 86400 + 1)}
     carry = {}
     for s, e in sessions:
         for d in range(s // 86400 + 1, e // 86400 + 1):
             carry[d] = carry.get(d, 0) + 1
     rows = q_max_concurrency(spark, sf_dir).collect()
-    got_days = {r["day"] for r in rows}
-    # output = days owning >=1 boundary (same anchor as the oracle)
-    assert got_days == {t // 86400 for t in points}
+    # output = every day with >=1 active session (boundary + carry days)
+    assert {r["day"] for r in rows} == days
     for r in rows:
         assert r["carry_in"] == carry.get(r["day"], 0)
-        # day start (carry) is also a candidate for the max
-        expected = max(per_day[r["day"]], carry.get(r["day"], 0))
+        cands = [r["day"] * 86400] + by_day.get(r["day"], [])
+        expected = max(
+            sum(1 for s, e in sessions if s <= t <= e) for t in cands
+        )
         assert r["max_concurrent"] == expected
+
+
+def test_max_concurrency_day_boundary_rules(spark, tmp_path):
+    """Two sweep-line day-boundary edge cases (the oracle applies the
+    same rules, so the DuckDB differential cannot pin them — only a
+    synthetic replay can): (1) a day fully inside a midnight-spanning
+    session appears as a carry-only row; (2) a session ending at a
+    day's last second must not push a stray -1 into the next day's
+    sweep."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from books2scrape_etl_spark.queries import QUERIES
+
+    D = 20_000  # arbitrary epoch day
+
+    def at(day, h, m=0, s=0):
+        return day * 86400 + h * 3600 + m * 60 + s
+
+    es_list = [
+        # user 1: one session day D 23:00 -> day D+2 01:00 (every gap
+        # < 6 h) — covers all of day D+1 with no boundary inside it
+        (1, at(D, 23)),
+        (1, at(D + 1, 4)),
+        (1, at(D + 1, 9)),
+        (1, at(D + 1, 14)),
+        (1, at(D + 1, 19)),
+        (1, at(D + 2, 0, 30)),
+        (1, at(D + 2, 1)),
+        # user 2: session ending exactly at day D+3's last second
+        (2, at(D + 3, 20)),
+        (2, at(D + 3, 23, 59, 59)),
+        # user 3: session inside day D+4
+        (3, at(D + 4, 1)),
+        (3, at(D + 4, 2)),
+    ]
+    rows = [(i, uid, es) for i, (uid, es) in enumerate(es_list)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, es long")
+    df.select(
+        "event_id", "user_id", F.timestamp_seconds("es").alias("ts")
+    ).write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["day"]: (r["carry_in"], r["max_concurrent"])
+        for r in QUERIES["max_concurrency"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        D: (0, 1),
+        D + 1: (1, 1),  # carry-only day — dropped before the fix
+        D + 2: (1, 1),
+        D + 3: (0, 1),
+        D + 4: (0, 1),  # deflated to 0 before the fix (stray -1 at 00:00:00)
+    }
