@@ -24,6 +24,12 @@ ORACLE_SQL: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
+        # A duplicate would silently shadow the earlier implementation
+        # (import order wins) while every count/coverage ledger still
+        # reads as if both existed — caught once in the wild
+        # (cohort_retention, weekly defs9 vs monthly defs19).
+        if name in QUERIES:
+            raise ValueError(f"duplicate qname registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

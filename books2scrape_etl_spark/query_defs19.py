@@ -203,7 +203,7 @@ ORDER BY cohort_ym, months_since
 """
 
 
-@register("cohort_retention", _COHORT_SQL)
+@register("cohort_retention_monthly", _COHORT_SQL)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort-retention triangle over orders: cohort = month of
     a customer's first order (yyyymm BIGINT key), months_since =
