@@ -6,36 +6,23 @@ views ``region nation customer supplier part orders lineitem events
 documents embeddings``. Column names are aliased identically on both
 sides — the driver sorts columns by name before value-hashing.
 
-Registration happens via the :func:`register` decorator so each
-operator module can declare its own qnames next to the implementation.
+Registration happens via the :func:`register` decorator (re-exported
+from the leaf module :mod:`books2scrape_etl_spark.registry` — the
+dicts live there so query_defs* modules never import THIS module; a
+test importing a defs module directly used to trigger a circular
+half-initialized import that tripped the WINDOW asserts below). This
+module is the driver entry path: it imports every defs module and
+fixes the registry order.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, SparkQuery] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
-    def deco(fn: SparkQuery) -> SparkQuery:
-        # A duplicate would silently shadow the earlier implementation
-        # (import order wins) while every count/coverage ledger still
-        # reads as if both existed — caught once in the wild
-        # (cohort_retention, weekly defs9 vs monthly defs19).
-        if name in QUERIES:
-            raise ValueError(f"duplicate qname registration: {name}")
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE_SQL[name] = oracle
-        return fn
-
-    return deco
+from books2scrape_etl_spark.registry import (  # noqa: F401  (re-exports)
+    ORACLE_SQL,
+    QUERIES,
+    SparkQuery,
+    register,
+)
 
 
 # Import for registration side effects (each module registers its qnames).
@@ -71,6 +58,7 @@ from books2scrape_etl_spark import query_defs29  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs30  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs31  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs32  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earlier modules' oracles — keep last)
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -82,110 +70,73 @@ from books2scrape_etl_spark import query_defs32  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-7 rotation (VERDICT r6 item 1, executing the plan written in
-# r6): every r6-green window row rotates OUT to the just-past-window
-# oracle-paired block (each now holds a hard r6 row). Rotating IN:
-# - the 11 wave-11 qnames earning their first driver slots
-#   (pagerank_invariants trimmed to 5 training rounds — VERDICT item 2
-#   — the invariants are round-count-independent and the 10-round form
-#   cost 11-22 s/run);
-# - the 5 returners still on r<=4 evidence (partition_pruning,
-#   array_ops, asof_join_general, tpch_q3, tpch_q5 — judge-sim green
-#   in r6, now earning hard rows);
-# - 31 r5-latest refreshers, suites first (tpch_suite/2/3 keep all 16
-#   TPC-H singles inside the r6-r8 evidence horizon in 3 slots;
-#   sources/clean/columns_lineitem cover the S/P families), then the
-#   r5-single-green singles the r6 verdict named (tpch_q10/q12/q14/
-#   q18, pivot, unpivot, the 3 subquery singles, string/math_funcs,
-#   the 4 sampling singles) plus high-value scale/UDF singles.
-# 3 holdovers (flagship, books_e2e, stream_windows_suite) keep
-# continuous coverage AND re-verify this round's code changes: the
-# exact-sort-budget dispatcher now inside flagship/books plans, and
-# the stream-suite temp-dir/memory-table lifecycle fixes.
+# Round-8 rotation (VERDICT r7 item 1): the r7-green window rotates
+# OUT; the window turns onto the waves-12–22 backlog — 54 oracle-paired
+# qnames with zero driver rows. 31 of them ride the five new packed
+# suites in query_defs33.py (each section re-runs the single's Spark
+# callable and wraps its oracle SQL verbatim, both projections
+# generated from one slot table); the heavy / iterative /
+# scale-variant / streaming singles keep direct slots. Measured this
+# session (sim, sf0.01, healthy host mode): graph_triangles 9.5 s,
+# kmeans_invariants 14.0 s, graph_bfs 4.5 s, graph_walks 8.5 s — no
+# semantic trimming needed (VERDICT item 2); the degraded-host 20-39 s
+# readings were the documented cold/codegen mode, not the plans.
+# Also in: the 15 qnames whose latest hard row is r5 (three rounds
+# stale — window_lag_lead reclaims the slot als_topk borrowed in r7),
+# the three qnames whose code changed this round (max_concurrency
+# day-boundary rules, rate_limit_keys left join, negative_sampling
+# self-join aliasing), and cohort_retention (weekly, query_defs9) —
+# re-pinned after this round's un-shadowing fix (query_defs19's
+# monthly twin had silently taken its registry name since r7; the
+# monthly one debuts under cohort_retention_monthly).
 #
-# After r7 the oracle-paired qnames on r5-only evidence (agg_stats,
-# sketch_kmv, stream_join, scd2_upsert, decontaminate, corpus_build,
-# chunk_docs, redact_pii, sim_ann_probe, ann_recall, dedup_invariants,
-# report_render, approx_bounds, join_bucketed) are the r8 rotation's
-# first claim on slots, together with the 13 wave-12/13 qnames added
-# in r7 (ts_gapfill, ohlc_bars, rolling_active, pmi_collocations,
-# kmeans_invariants, robust_outliers, quantile_normalize,
-# gini_diversity, source_overlap, feature_hashing, grouped_regression,
-# quantile_normalize_scale, stream_static_join — builder-sim green at
-# both SFs in the r7 definitive sweeps, zero driver rows yet; pack
-# into 2-3 suites if slots run short, the established pattern), the
-# 4 late-r7 wave-13 qnames (sessionize_batch, event_transitions,
-# skyline_pareto, graph_triangles — query_defs13.py, same standing),
-# the 7 wave-14 qnames (assoc_rules, mv_incremental, chi_square,
-# acf_lags, ab_lift, session_paths, inverted_index — query_defs14.py,
-# builder-sim green at both SFs in r7, zero driver rows yet), and the
-# 6 wave-15 qnames (graph_bfs, rfm_segments, benford_digits,
-# hll_distinct, ks_test, pca_gram — query_defs15.py, same standing;
-# budget graph_bfs ~11 s at sf0.1, the pagerank-class cost), and the
-# 3 wave-16 qnames (ts_interp, graph_walks, welch_ttest —
-# query_defs16.py, same standing; graph_walks ~9 s at sf0.1), and
-# the 3 wave-17 qnames (topk_groups_scale, ts_trend, lorenz_deciles
-# — query_defs17.py, same standing), and the 2 wave-18 qnames
-# (knn_confusion, class_weights — query_defs18.py, same standing),
-# and the 4 wave-19 qnames (funnel_conversion, cohort_retention,
-# profile_table, edit_distance_pairs — query_defs19.py, same
-# standing), and the 4 wave-20 qnames (distinctive_terms,
-# rolling_slope, funnel_latency, skew_profile — query_defs20.py,
-# same standing), and the 4 wave-21 qnames (ship_delay,
-# interarrival_stats, dup_rate_by_source, dow_profile —
-# query_defs21.py, same standing), and the 4 wave-22 qnames
-# (hhi_by_segment, pareto_coverage, ngram_containment, anomaly_days
-# — query_defs22.py, same standing), and the 4 wave-23 qnames
-# (calendar_dim, apportion_budget, winsorize, zone_maps —
-# query_defs23.py, same standing), and the 4 wave-24 qnames
-# (rank_correlation, weighted_quantiles, growth_mom_yoy, mode_stats
-# — query_defs24.py, same standing), and the 4 wave-25 qnames
-# (attribution_last_touch, streak_islands, decile_transition,
-# reconcile_daily — query_defs25.py, same standing), and the 4
-# wave-26 qnames (twap_value, hazard_curve, table_checksum,
-# topk_with_ties — query_defs26.py, same standing), and the 4
-# wave-27 qnames (rate_limit_keys, ttr_stats, group_split,
-# histogram_2d — query_defs27.py, same standing), and the 4 wave-28
-# qnames (seasonal_index, discount_qty_corr, adoption_curve,
-# max_concurrency — query_defs28.py, same standing), and the 4
-# wave-29 qnames (burstiness, max_drawdown, cdf_probes, rank_shift
-# — query_defs29.py, same standing), and the 2 wave-30 qnames
-# (bootstrap_se, dedup_keep_best — query_defs30.py, same standing;
-# landed after this round's definitive dual-SF sweeps, swept green
-# per-wave on top), and the 3 wave-31 qnames (k_anonymity,
-# data_freshness, negative_sampling — query_defs31.py, same
-# standing), and the 2 wave-32 qnames (fd_audit, change_point —
-# query_defs32.py, same standing).
+# Round-9 rotation plan (write-ahead, the r7-verdict protocol): the
+# r8-green window rotates out; first claim on r9 slots is the
+# remaining never-driver-checked backlog — waves 23–32 minus this
+# round's three code-changed rows: calendar_dim, apportion_budget,
+# winsorize, zone_maps (w23); rank_correlation, weighted_quantiles,
+# growth_mom_yoy, mode_stats (w24); attribution_last_touch,
+# streak_islands, decile_transition, reconcile_daily (w25);
+# twap_value, hazard_curve, table_checksum, topk_with_ties (w26);
+# ttr_stats, group_split, histogram_2d (w27); seasonal_index,
+# discount_qty_corr, adoption_curve (w28); burstiness, max_drawdown,
+# cdf_probes, rank_shift (w29); bootstrap_se, dedup_keep_best (w30);
+# k_anonymity, data_freshness (w31); fd_audit, change_point (w32) —
+# 32 qnames; pack waves 23-26 and 27-29 into two or three
+# query_defs33-style suites (~16 singles packed) and budget
+# change_point (~15 s at sf0.01). That leaves ~15 slots for r6-latest
+# refreshers (the 47 r6-green qnames become three rounds stale in r9:
+# suites first — agg_olap_suite, text_suite, sampling_suite,
+# winnow_suite, scalar_funcs_suite, subquery_suite,
+# pivot_unpivot_suite, then sketch/scan/join singles) plus the
+# flagship/books_e2e/stream_windows_suite holdovers.
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
-    # (all three changed in r7: bin_quantile dispatcher, temp lifecycle)
+    # (the stream suite row re-hashes the r7-added hopping/ohlc/source
+    # sections — VERDICT r7 item 6)
     "flagship", "books_e2e", "stream_windows_suite",
-    # wave-11 (first driver slots): corpus relevance, CDC, percentiles,
-    # BPE, layout, decay, tokenizer, graph, recommender, hopping
-    "tfidf_bm25", "snapshot_cdc", "group_percentiles", "bpe_pairs",
-    "zorder_cluster", "ewma_decay", "tokenize_ids", "graph_degree",
-    "pagerank_invariants", "als_invariants", "window_hopping",
-    # returners on r<=4 evidence — the last five (VERDICT r6 gap 2)
-    "partition_pruning", "array_ops", "asof_join_general",
-    "tpch_q3", "tpch_q5",
-    # r5 refreshers — widest suites first (16 TPC-H singles via 3 slots)
-    "tpch_suite", "tpch_suite2", "tpch_suite3",
-    "sources_suite", "clean_suite", "columns_lineitem_suite",
-    # r5 refreshers — the single-green rows named by the r6 verdict
-    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
-    "pivot", "unpivot",
-    "scalar_subquery", "correlated_subquery", "in_subquery",
-    "string_funcs", "math_funcs",
-    "stratified_sample", "weighted_sample", "stratified_threshold",
-    "shuffle_shards",
-    # r5 refreshers — scale/UDF/join singles
-    "udaf_grouped", "grouped_map", "surrogate_key_scale", "join_salted",
-    "explode_split", "join_asof", "join_fact", "join_sortmerge",
-    "multimodal_decode",
-    # new in r7 (VERDICT item 8): the ALS serving path — takes the
-    # slot window_lag_lead would have refreshed (its r5 row stays
-    # valid through r7; r8 reclaims it)
-    "als_topk",
+    # waves 12-22 packed: 31 singles in 5 slots (query_defs33.py)
+    "wave12_suite", "wave13_14_suite", "wave15_16_suite",
+    "wave20_21_suite", "wave22_suite",
+    # waves 12-22 direct: heavy / iterative / scale / streaming singles
+    "ts_gapfill", "ohlc_bars", "feature_hashing",
+    "quantile_normalize_scale", "kmeans_invariants", "stream_static_join",
+    "sessionize_batch", "graph_triangles",
+    "mv_incremental", "inverted_index",
+    "graph_bfs", "pca_gram", "ts_interp",
+    "topk_groups_scale", "ts_trend", "lorenz_deciles",
+    "knn_confusion", "class_weights",
+    "funnel_conversion", "cohort_retention_monthly", "profile_table",
+    "edit_distance_pairs", "distinctive_terms",
+    # code changed this round — each earns a fresh hard row
+    "max_concurrency", "rate_limit_keys", "negative_sampling",
+    # un-shadowed this round (weekly events cohort, query_defs9)
+    "cohort_retention",
+    # r5-latest refreshers (three rounds stale)
+    "window_lag_lead", "agg_stats", "join_bucketed", "sketch_kmv",
+    "stream_join", "scd2_upsert", "decontaminate", "corpus_build",
+    "chunk_docs", "redact_pii", "sim_ann_probe", "ann_recall",
+    "dedup_invariants", "report_render", "approx_bounds",
 )
 
 

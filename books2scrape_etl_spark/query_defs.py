@@ -40,7 +40,7 @@ from books2scrape_etl_spark.operators import dedupe, multimodal, similarity, tex
 from books2scrape_etl_spark.operators.binning import bin_fixed, bin_quantile_exact
 from books2scrape_etl_spark.plans.flagship import FLAGSHIP_ORACLE, flagship
 from books2scrape_etl_spark.plans.star import build_dim, join_dim
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 from books2scrape_etl_spark.streaming import windows as stream_ops
 
 

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES, register
+from books2scrape_etl_spark.registry import ORACLE_SQL, QUERIES, register
+# Registration-order deps: wraps agg/text oracles from defs 1/2/4.
+from books2scrape_etl_spark import query_defs as _dep1  # noqa: F401,E402
+from books2scrape_etl_spark import query_defs2 as _dep2  # noqa: F401,E402
+from books2scrape_etl_spark import query_defs4 as _dep4  # noqa: F401,E402
 
 _SKEW_KEY_SQL = "CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE 1 + l_orderkey % 100 END"
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 from books2scrape_etl_spark.query_defs import _NORM_SQL, topk_with_rank
 
 # ---------------------------------------------------------------------

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
 from books2scrape_etl_spark.io import read_table
 from books2scrape_etl_spark.operators.text import normalize_for_fingerprint
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 from books2scrape_etl_spark.query_defs import _NORM_SQL, topk_with_rank
 
 # ---------------------------------------------------------------------

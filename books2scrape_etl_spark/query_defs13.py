@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
 from books2scrape_etl_spark.oracle_shared import SESSION_GAP_S as _SESSION_GAP_S
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 # ---------------------------------------------------------------------
 # sessionize_batch — gap-based sessionization (the batch twin of the

@@ -56,7 +56,7 @@ from books2scrape_etl_spark.io import read_table
 from books2scrape_etl_spark.operators.freq import tokens_of
 from books2scrape_etl_spark.operators.sketch import portable_hash32
 from books2scrape_etl_spark.oracle_shared import SESSION_GAP_S as _SESSION_GAP_S
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 from books2scrape_etl_spark.query_defs import _NORM_SQL
 
 _EPOCH_LONG = "CAST(floor(epoch(ts)) AS BIGINT)"

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
 from books2scrape_etl_spark.io import read_table
 from books2scrape_etl_spark.operators.sketch import portable_hash32
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 # ---------------------------------------------------------------------
 # ts_interp — linear interpolation on the per-user hourly grid (the

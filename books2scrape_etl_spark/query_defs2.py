@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 
 def _utc(spark: SparkSession) -> None:
@@ -819,12 +819,25 @@ def q_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_sentences")  # rows-only: python UDTF execution surface
+_UDTF_INVARIANTS_SQL = """
+SELECT 'rowcount_match' AS check_name, CAST(1 AS BIGINT) AS ok
+UNION ALL
+SELECT 'symmetric_diff_zero' AS check_name, CAST(1 AS BIGINT) AS ok
+"""
+
+
+@register("udtf_sentences", _UDTF_INVARIANTS_SQL)
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 (python UDTF form) — a table function emitting one row per
     sentence with its position: the Spark 4 @udtf surface for custom
     1->N operators that need imperative logic (the relational
-    split+explode above stays the default)."""
+    split+explode above stays the default).
+
+    Value signal (constant-oracle invariant row, the kmeans pattern):
+    the UDTF's full output is compared against its pure-relational
+    twin (posexplode + whitespace word count) — same row count and a
+    zero symmetric diff on the (doc_id, pos) key, so every emitted
+    value is pinned, not just rows>0."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, n_words int")
@@ -838,6 +851,38 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("sentence_stats", SentenceStats)
     docs = read_table(spark, "documents", sf_dir)
     docs.createOrReplaceTempView("v_docs")
-    return spark.sql(
+    out = spark.sql(
         "SELECT s.* FROM v_docs, LATERAL sentence_stats(doc_id, text) s"
     )
+    # Relational twin: Python str.split() == trim + split on \s+ runs,
+    # with the empty-sentence edge ('' -> 0 words, not 1).
+    sent = F.trim(F.col("sentence"))
+    words = (
+        F.when(sent == "", F.lit(0))
+        .otherwise(F.size(F.split(sent, r"\s+")))
+        .cast("int")
+    )
+    rel = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "sentence"),
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), words.alias("n_words")
+    )
+    u = out.select("doc_id", "pos", F.col("n_words").alias("u_nw"))
+    r = rel.select("doc_id", "pos", F.col("n_words").alias("r_nw"))
+    j = u.join(r, ["doc_id", "pos"], "full").agg(
+        F.sum((~F.col("u_nw").eqNullSafe(F.col("r_nw"))).cast("bigint")).alias(
+            "n_mismatch"
+        )
+    )
+    nu = out.agg(F.count(F.lit(1)).alias("n_u")).withColumn("k", F.lit(1))
+    nr = rel.agg(F.count(F.lit(1)).alias("n_r")).withColumn("k", F.lit(1))
+    counts = nu.join(F.broadcast(nr), "k").select(
+        F.lit("rowcount_match").alias("check_name"),
+        (F.col("n_u") == F.col("n_r")).cast("bigint").alias("ok"),
+    )
+    diff = j.select(
+        F.lit("symmetric_diff_zero").alias("check_name"),
+        (F.col("n_mismatch") == 0).cast("bigint").alias("ok"),
+    )
+    return counts.union(diff)

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 # ---------------------------------------------------------------------
 # hhi_by_segment — Herfindahl-Hirschman concentration of customer

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 # ---------------------------------------------------------------------
 # calendar_dim — generate the date dimension spanning the fact's

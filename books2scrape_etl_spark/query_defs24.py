@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 # ---------------------------------------------------------------------
 # rank_correlation — Spearman's rho between customers' revenue ranking

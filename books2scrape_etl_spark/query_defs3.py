@@ -34,7 +34,7 @@ from books2scrape_etl_spark.functions.columns import (
     rewrite_relative_url,
 )
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 _AVAIL_SQL = """CASE WHEN p_size % 3 = 0
                      THEN 'In stock (' || p_size || ' available)'

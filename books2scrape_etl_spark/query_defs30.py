@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 
 # Poisson(1) cdf at k=0,1,2 scaled to 2^32 (python-precomputed exact
 # ints, inlined in both engines): P(0)=.3679, P(<=1)=.7358, P(<=2)=.9197

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
+# Registration-order deps: this module wraps oracles registered by
+# the modules below, so a DIRECT import of this module (tests) must
+# pull them first (queries.py already imports everything in order).
+from books2scrape_etl_spark import query_defs as _dep1  # noqa: F401,E402
+from books2scrape_etl_spark import query_defs2 as _dep2  # noqa: F401,E402
 
 # Engine-portable bucket rule (operators/sampling.py:hash_bucket) in
 # DuckDB form — substitute the key expression.
@@ -394,7 +399,7 @@ def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # definitionally in sync with the standalone qnames.
 # ---------------------------------------------------------------------
 
-from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from books2scrape_etl_spark.registry import ORACLE_SQL, QUERIES  # noqa: E402
 
 
 @register(

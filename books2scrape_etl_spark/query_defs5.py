@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
+# Registration-order dep: wraps sampling oracles from query_defs4.
+from books2scrape_etl_spark import query_defs4 as _dep4  # noqa: F401,E402
 from books2scrape_etl_spark.query_defs import BRUTE_TOPK_SQL
 from books2scrape_etl_spark.query_defs4 import _WINNOW_FPS_CTE
 from books2scrape_etl_spark.operators import similarity
@@ -252,7 +254,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_sampling_suite() -> None:
     # composed AFTER the singles register (import-order dependency on
     # their ORACLE_SQL entries, same pattern as query_defs4's suites)
-    from books2scrape_etl_spark.queries import ORACLE_SQL
+    from books2scrape_etl_spark.registry import ORACLE_SQL
 
     oracle = f"""
     SELECT 'split' AS kind, CAST(doc_id AS BIGINT) AS k1,
@@ -323,7 +325,7 @@ def _register_sampling_suite() -> None:
         return sp.union(sh).union(st).union(ws)
 
 
-from books2scrape_etl_spark.queries import QUERIES  # noqa: E402
+from books2scrape_etl_spark.registry import QUERIES  # noqa: E402
 
 _register_sampling_suite()
 

@@ -24,7 +24,7 @@ from books2scrape_etl_spark.functions.agg import (
     sum_exact,
 )
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES, register
+from books2scrape_etl_spark.registry import ORACLE_SQL, QUERIES, register
 from books2scrape_etl_spark.query_defs import _utc
 
 

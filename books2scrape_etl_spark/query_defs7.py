@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.agg import oracle_sum_exact, sum_exact
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES, register
+from books2scrape_etl_spark.registry import ORACLE_SQL, QUERIES, register
 from books2scrape_etl_spark.query_defs import _utc
 from books2scrape_etl_spark.query_defs6 import _ts_year_range
 

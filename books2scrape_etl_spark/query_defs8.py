@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from books2scrape_etl_spark.io import read_table
-from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES, register
+from books2scrape_etl_spark.registry import ORACLE_SQL, QUERIES, register
 from books2scrape_etl_spark.query_defs import _utc
 
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")

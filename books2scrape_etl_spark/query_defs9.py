@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.io import read_table
 from books2scrape_etl_spark.operators import freq, quantize
-from books2scrape_etl_spark.queries import register
+from books2scrape_etl_spark.registry import register
 from books2scrape_etl_spark.query_defs import _DOT_SQL, _NORM_SQL, _utc
 
 # Engine-portable 32-bit hash twin (operators/sketch.portable_hash32).
