@@ -153,6 +153,10 @@ def test_no_unbounded_global_window_any_plan(registry_plans):
         # binning via bin_quantile_scale) — query_defs15 documents the
         # 1e9-customer routing.
         "rfm_segments",
+        # wave15_16_suite unions rfm_segments verbatim as a section, so
+        # it inherits exactly that single's documented ntile exemption —
+        # no new global window of its own.
+        "wave15_16_suite",
         # largest-remainder apportionment: the global SUM/ROW_NUMBER
         # windows run over the (segment x priority) cell frame AFTER the
         # fact collapses through a map-side-combining aggregate — input
