@@ -291,3 +291,16 @@ def test_rolling_active_single_scan_no_join(spark, sf_dir):
     plan = explain_str(QUERIES["rolling_active"](spark, sf_dir), "simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_registry_heap_frozen_after_import():
+    """queries.py must gc.freeze() after registration — without it the
+    33-module registry import makes every GC pass scan ~100k extra
+    permanent objects and Py4J-heavy plan construction slows 2.5-4x
+    (measured round 8: warm dedup_minhash 2.3 s -> 5.5-6.5 s at sf0.1).
+    The freeze count is process-wide, so this asserts a floor well
+    above anything pytest itself would freeze (nothing else calls
+    gc.freeze in this codebase)."""
+    import gc
+
+    assert gc.get_freeze_count() > 50_000
