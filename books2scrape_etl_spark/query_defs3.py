@@ -369,23 +369,77 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("books_datasource")  # rows-only: HTML-parsing source, no SQL form
+_DATASOURCE_INVARIANTS_SQL = """
+SELECT 'rowcount_match' AS check_name, CAST(1 AS BIGINT) AS ok
+UNION ALL
+SELECT 'symmetric_diff_zero' AS check_name, CAST(1 AS BIGINT) AS ok
+"""
+
+
+@register("books_datasource", _DATASOURCE_INVARIANTS_SQL)
 def q_books_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S4 as a FIRST-CLASS Spark source (Spark 4 Python Data Source
     API, sources/datasource.py): one InputPartition per listing page,
     declared schema, offline fixtures. The full extract stage becomes
     spark.read.format('books') — composable with every downstream
-    operator like any parquet scan."""
+    operator like any parquet scan.
+
+    Value signal (constant-oracle invariant rows, the udtf_sentences
+    pattern): the DataSource scan's FULL 13-column output is compared
+    against an independently-constructed batch twin — html_source over
+    the same listing fixtures -> extract_links -> join to the detail
+    fixtures -> parse_books, i.e. the S2/S3 operators whose values
+    sources_suite pins to golden literals. Same row count and an empty
+    MULTISET symmetric difference (exceptAll both ways on a to_json
+    canonicalization of all 13 fields), so InputPartition planning,
+    option handling, and the per-partition read all carry a hard value
+    check, not just rows>0."""
     from books2scrape_etl_spark.sources.datasource import register_books_source
+    from books2scrape_etl_spark.sources.fixtures_html import (
+        DETAIL_PAGES,
+        LISTING_PAGES,
+    )
+    from books2scrape_etl_spark.sources.scrape import (
+        BOOK_STRUCT,
+        extract_links,
+        html_source,
+        parse_books,
+    )
 
     register_books_source(spark)
-    return (
+    ds = (
         spark.read.format("books")
         .option("pages", "2")
         .option("fixtures", "true")
         .load()
-        .select("Title", "Category", "Rating", "UPC")
     )
+    links = extract_links(html_source(spark, LISTING_PAGES[:2]))
+    details = spark.createDataFrame(DETAIL_PAGES, "url string, html string")
+    twin = parse_books(
+        links.join(details, "url", "inner").select("html")
+    )
+
+    cols = [F.col(f"`{f.name}`") for f in BOOK_STRUCT.fields]
+    a = ds.select(F.to_json(F.struct(*cols)).alias("j"))
+    b = twin.select(F.to_json(F.struct(*cols)).alias("j"))
+    one = F.lit(1)
+    n_a = a.agg(F.count(one).alias("n_ds"))
+    n_b = b.agg(F.count(one).alias("n_twin"))
+    d_ab = a.exceptAll(b).agg(F.count(one).alias("n_only_ds"))
+    d_ba = b.exceptAll(a).agg(F.count(one).alias("n_only_twin"))
+    # 1-row aggregate broadcasts (the documented crossJoin exemption)
+    probe = n_a.crossJoin(n_b).crossJoin(d_ab).crossJoin(d_ba)
+    counts = probe.select(
+        F.lit("rowcount_match").alias("check_name"),
+        (F.col("n_ds") == F.col("n_twin")).cast("bigint").alias("ok"),
+    )
+    diff = probe.select(
+        F.lit("symmetric_diff_zero").alias("check_name"),
+        ((F.col("n_only_ds") + F.col("n_only_twin")) == 0)
+        .cast("bigint")
+        .alias("ok"),
+    )
+    return counts.union(diff)
 
 
 @register("books_stream_source_rt")  # rows-only: streaming HTML source
