@@ -58,7 +58,8 @@ from books2scrape_etl_spark import query_defs29  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs30  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs31  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs32  # noqa: E402,F401
-from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earlier modules' oracles — keep last)
+from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earlier modules' oracles — keep after them)
+from books2scrape_etl_spark import query_defs34  # noqa: E402,F401  (wraps defs4's packing oracle — keep last)
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -102,7 +103,9 @@ from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earli
 # discount_qty_corr, adoption_curve (w28); burstiness, max_drawdown,
 # cdf_probes, rank_shift (w29); bootstrap_se, dedup_keep_best (w30);
 # k_anonymity, data_freshness (w31); fd_audit, change_point (w32) —
-# 32 qnames; pack waves 23-26 and 27-29 into two or three
+# plus wave 34 (scan_schema_drift, zorder_layout, packing_efficiency,
+# added late r8 after the definitive sweeps, per-wave sims on top) —
+# 35 qnames; pack waves 23-26 and 27-29 into two or three
 # query_defs33-style suites (~16 singles packed) and budget
 # change_point (~15 s at sf0.01). That leaves ~15 slots for r6-latest
 # refreshers (the 47 r6-green qnames become three rounds stale in r9:
