@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from books2scrape_etl_spark.plans.flagship import flagship  # noqa: E402
-from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from books2scrape_etl_spark.queries import (  # noqa: E402
+    ORACLE_SQL,
+    QUERIES,
+    freeze_registry_heap,
+)
 
 _SHIPPED: set[int] = set()
 
@@ -60,11 +64,14 @@ def _ship_package(spark: SparkSession) -> None:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    freeze_registry_heap()  # explicit perf-entry GC posture (ADVICE r8)
     _ship_package(spark)
     return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    freeze_registry_heap()  # explicit perf-entry GC posture (ADVICE r8)
+
     def shipped(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)

@@ -167,7 +167,7 @@ _reorder()
 # Driver-side GC tuning. Plan construction is Py4J-heavy (thousands of
 # short-lived Column/expression temporaries per query); CPython's
 # generational GC triggers on allocation counts, and every pass scans
-# the tracked heap — which these 33 defs modules just grew by ~100k
+# the tracked heap — which these 34 defs modules just grew by ~100k
 # permanent objects. Measured on this host (sf0.1, warm JVM):
 # dedup_minhash plan-build+run 5.5-6.5 s with the full registry
 # imported vs 2.2-2.3 s with either (a) only one defs module imported
@@ -175,11 +175,26 @@ _reorder()
 # module graph out of every future collection — exactly the CPython
 # long-lived-process recipe — and is safe here: registry contents are
 # process-lifetime by construction.
-def _freeze_registry_heap() -> None:
-    import gc
+#
+# NOT an import side effect (ADVICE r8): freezing at import time would
+# also permanently exempt whatever caller state happens to be alive
+# (pytest internals, half-built fixtures) from cycle collection. Each
+# perf entry point (bench.py, scripts/bench_warm.py, the driver
+# contract's __spark_entry__.queries()/entry(), tests/conftest.py's
+# session fixture) calls this explicitly AFTER its own setup instead.
+# Idempotent; opt out with SPARK_GRAFT_GC_FREEZE=0.
+_FROZEN = False
 
+
+def freeze_registry_heap() -> None:
+    global _FROZEN
+    if _FROZEN:
+        return
+    import gc
+    import os
+
+    if os.environ.get("SPARK_GRAFT_GC_FREEZE", "1") == "0":
+        return
     gc.collect()
     gc.freeze()
-
-
-_freeze_registry_heap()
+    _FROZEN = True

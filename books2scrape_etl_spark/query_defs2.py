@@ -856,6 +856,13 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Relational twin: Python str.split() == trim + split on \s+ runs,
     # with the empty-sentence edge ('' -> 0 words, not 1).
+    # ASCII-text assumption (ADVICE r8): str.split() splits on Unicode
+    # whitespace while Java \s+ is ASCII-only — a NBSP (U+00A0) inside
+    # documents.text would flip the invariant to 0. The synthetic corpus
+    # is ASCII by construction (TESTDATA.md); a Unicode corpus would
+    # need [\s ]+ (or \p{IsWhite_Space}) on the Spark side AND an
+    # re.ASCII split in the UDTF to keep the two sides definitionally
+    # aligned.
     sent = F.trim(F.col("sentence"))
     words = (
         F.when(sent == "", F.lit(0))

@@ -6,7 +6,8 @@ one 50-slot driver window can hold as singles. These five suites pack
 keep direct slots) so every wave-12–22 qname earns a hard driver row
 in round 8.
 
-Suite contract (same as query_defs10's): each section re-runs the
+Suite contract (same as query_defs10's; helpers live in suites.py,
+shared with query_defs35): each section re-runs the
 single's registered Spark callable and wraps the single's registered
 oracle SQL verbatim, so both sides stay definitionally in sync with
 the standalone qnames. On top of that, BOTH the Spark projection and
@@ -23,9 +24,8 @@ to BIGINT on both sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from books2scrape_etl_spark.registry import ORACLE_SQL, QUERIES, register
+from books2scrape_etl_spark.registry import register
 # Registration-order deps: each suite wraps oracles from waves 12-22.
 from books2scrape_etl_spark import query_defs12 as _dep12  # noqa: F401,E402
 from books2scrape_etl_spark import query_defs13 as _dep13  # noqa: F401,E402
@@ -39,58 +39,11 @@ from books2scrape_etl_spark import query_defs20 as _dep20  # noqa: F401,E402
 from books2scrape_etl_spark import query_defs21 as _dep21  # noqa: F401,E402
 from books2scrape_etl_spark import query_defs22 as _dep22  # noqa: F401,E402
 
-_SQL_T = {"string": "VARCHAR", "bigint": "BIGINT", "double": "DOUBLE"}
-
-
-def _width(n_s: int, n_n: int, n_d: int) -> list[tuple[str, str]]:
-    return (
-        [(f"s{i}", "string") for i in range(1, n_s + 1)]
-        + [(f"n{i}", "bigint") for i in range(1, n_n + 1)]
-        + [(f"d{i}", "double") for i in range(1, n_d + 1)]
-    )
-
-
-def _sect_df(
-    spark: SparkSession,
-    sf_dir: str,
-    name: str,
-    width: list[tuple[str, str]],
-    slots: dict[str, str],
-) -> DataFrame:
-    df = QUERIES[name](spark, sf_dir)
-    cols = [F.lit(name).alias("sec")]
-    for slot, typ in width:
-        src = slots.get(slot)
-        if src is None:
-            cols.append(F.lit(None).cast(typ).alias(slot))
-        else:
-            cols.append(F.col(src).cast(typ).alias(slot))
-    return df.select(*cols)
-
-
-def _sect_sql(name: str, width: list[tuple[str, str]], slots: dict[str, str]) -> str:
-    parts = [f"'{name}' AS sec"]
-    for slot, typ in width:
-        src = slots.get(slot, "NULL")
-        parts.append(f"CAST({src} AS {_SQL_T[typ]}) AS {slot}")
-    return f"SELECT {', '.join(parts)} FROM ({ORACLE_SQL[name]}) sub_{name}"
-
-
-def _suite_sql(width: list[tuple[str, str]], sections: dict[str, dict[str, str]]) -> str:
-    return "\nUNION ALL\n".join(_sect_sql(n, width, m) for n, m in sections.items())
-
-
-def _suite_df(
-    spark: SparkSession,
-    sf_dir: str,
-    width: list[tuple[str, str]],
-    sections: dict[str, dict[str, str]],
-) -> DataFrame:
-    out = None
-    for name, mapping in sections.items():
-        part = _sect_df(spark, sf_dir, name, width, mapping)
-        out = part if out is None else out.union(part)
-    return out
+from books2scrape_etl_spark.suites import (  # noqa: E402
+    suite_df as _suite_df,
+    suite_sql as _suite_sql,
+    width as _width,
+)
 
 
 # ---------------------------------------------------------------------

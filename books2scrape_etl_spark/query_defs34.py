@@ -85,10 +85,23 @@ def q_scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is part of the query by design (the join_bucketed land-once
     contract); the oracle replays the union with a typed NULL literal.
     At 100 TB this is the difference between evolving a table and
-    rewriting it."""
+    rewriting it.
+
+    The scratch path is keyed by (SF tag, applicationId): a path keyed
+    only by SF raced when two same-SF sessions ran concurrently —
+    overwrite-while-mergeSchema-read (ADVICE r8 / VERDICT r8 item 4;
+    the _ship_package per-process zip dir is the in-repo precedent)."""
     scratch = "/tmp/spark_graft_scratch"
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _os.path.join(scratch, f"drift_{tag}")
+    app_id = spark.sparkContext.applicationId
+    base = _os.path.join(scratch, f"drift_{tag}_{app_id}")
+    # best-effort removal of OUR dir at interpreter exit (the scan is
+    # lazy, so it can't be cleaned inline; other sessions' dirs are
+    # never touched — deleting them would reintroduce the race)
+    import atexit as _atexit
+    import shutil as _shutil
+
+    _atexit.register(_shutil.rmtree, base, ignore_errors=True)
     nation = read_table(spark, "nation", sf_dir)
     v1 = nation.select(
         F.col("n_nationkey").cast("bigint").alias("nationkey"),

@@ -26,15 +26,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from books2scrape_etl_spark.queries import QUERIES  # noqa: E402
+from books2scrape_etl_spark.queries import QUERIES, freeze_registry_heap  # noqa: E402
 from books2scrape_etl_spark.session import get_spark  # noqa: E402
 from bench import HEADLINE, force  # noqa: E402
 
 
 def main() -> None:
+    import gc
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("WARM_ITERS", "3"))
     names = sys.argv[1:] or HEADLINE
+    freeze_registry_heap()  # explicit perf-entry GC posture (ADVICE r8)
+    print(f"gc.get_freeze_count()={gc.get_freeze_count()}", file=sys.stderr)
     spark = get_spark(app_name="bench_warm")
     spark.range(1000).selectExpr("sum(id)").collect()
 

@@ -293,14 +293,19 @@ def test_rolling_active_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_registry_heap_frozen_after_import():
-    """queries.py must gc.freeze() after registration — without it the
-    33-module registry import makes every GC pass scan ~100k extra
-    permanent objects and Py4J-heavy plan construction slows 2.5-4x
-    (measured round 8: warm dedup_minhash 2.3 s -> 5.5-6.5 s at sf0.1).
-    The freeze count is process-wide, so this asserts a floor well
-    above anything pytest itself would freeze (nothing else calls
-    gc.freeze in this codebase)."""
+def test_registry_heap_frozen_after_entry_call():
+    """freeze_registry_heap() must actually freeze the registry heap —
+    without it the 34-module registry import makes every GC pass scan
+    ~100k extra permanent objects and Py4J-heavy plan construction
+    slows 2.5-4x (measured round 8: warm dedup_minhash 2.3 s ->
+    5.5-6.5 s at sf0.1). Since round 9 the freeze is an explicit
+    perf-entry-point call (ADVICE r8: no import side effect); the
+    session fixture in conftest.py makes it, so by the time any Spark
+    test runs the count must sit well above anything pytest itself
+    would freeze (nothing else calls gc.freeze in this codebase)."""
     import gc
 
+    from books2scrape_etl_spark.queries import freeze_registry_heap
+
+    freeze_registry_heap()
     assert gc.get_freeze_count() > 50_000
