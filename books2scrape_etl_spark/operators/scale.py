@@ -140,6 +140,79 @@ def percent_rank_scale(
     )
 
 
+def ntile_scale(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(n) OVER (ORDER BY order_cols)`` WITHOUT a
+    single-task window — bit-identical to the exact window form, so the
+    same SQL oracle verifies both (the dense_ids_scale guarantee).
+
+    Same two-phase construction as :func:`dense_ids_scale`, kept
+    row-preserving (no distinct): range-partition on the order columns,
+    rank within each partition, collect only per-partition COUNTS,
+    prefix-sum on the driver, broadcast offsets back. The global rank
+    then maps to the tile with ntile's own split rule — the first
+    ``total % n`` tiles hold ``total DIV n + 1`` rows, the rest
+    ``total DIV n`` — in exact integer arithmetic
+    (``ceil(a/b) = (a+b-1) DIV b``).
+
+    ``order_cols`` must be a total order (include a tiebreak key); ties
+    then split across tiles deterministically, exactly as the window
+    form with the same ORDER BY does. This is the 100 TB routing for
+    rfm_segments' quintiles (VERDICT r8 item 7) — unlike bin_quantile's
+    exact/approx dispatcher there is nothing to dispatch: this form IS
+    exact, it just never sorts the world in one task.
+    """
+    order = [to_col(c).asc_nulls_first() for c in order_cols]
+    rp = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    staged = rp.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order)
+    # persist before the counts action (boundary-resample hazard
+    # documented in dense_ids_scale)
+    ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    total = acc
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    rank = F.col("__off") + F.col("__rn")  # 1-based exact global rank
+    q, r = divmod(total, n_tiles)
+
+    def _ceil_div(a, b: int):
+        # exact integer ceil(a/b) for Column longs: make the numerator
+        # exactly divisible first, so the double division is exact
+        num = a + F.lit(b - 1)
+        return ((num - num % F.lit(b)) / F.lit(b)).cast("long")
+
+    if q == 0:
+        # fewer rows than tiles: ntile gives each row its own tile
+        tile = rank
+    else:
+        big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = F.when(rank <= F.lit(big), _ceil_div(rank, q + 1)).otherwise(
+            F.lit(r) + _ceil_div(rank - F.lit(big), q)
+        )
+    return (
+        ranked.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, tile.cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def prefix_sums_scale(
     df: DataFrame,
     order_cols: Sequence[str],

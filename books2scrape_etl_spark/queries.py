@@ -60,6 +60,7 @@ from books2scrape_etl_spark import query_defs31  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs32  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earlier modules' oracles — keep after them)
 from books2scrape_etl_spark import query_defs34  # noqa: E402,F401  (wraps defs4's packing oracle — keep last)
+from books2scrape_etl_spark import query_defs35  # noqa: E402,F401  (wraps waves 23-32's oracles — keep after them)
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -71,75 +72,67 @@ from books2scrape_etl_spark import query_defs34  # noqa: E402,F401  (wraps defs4
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-8 rotation (VERDICT r7 item 1): the r7-green window rotates
-# OUT; the window turns onto the waves-12–22 backlog — 54 oracle-paired
-# qnames with zero driver rows. 31 of them ride the five new packed
-# suites in query_defs33.py (each section re-runs the single's Spark
-# callable and wraps its oracle SQL verbatim, both projections
-# generated from one slot table); the heavy / iterative /
-# scale-variant / streaming singles keep direct slots. Measured this
-# session (sim, sf0.01, healthy host mode): graph_triangles 9.5 s,
-# kmeans_invariants 14.0 s, graph_bfs 4.5 s, graph_walks 8.5 s — no
-# semantic trimming needed (VERDICT item 2); the degraded-host 20-39 s
-# readings were the documented cold/codegen mode, not the plans.
-# Also in: the 15 qnames whose latest hard row is r5 (three rounds
-# stale — window_lag_lead reclaims the slot als_topk borrowed in r7),
-# the three qnames whose code changed this round (max_concurrency
-# day-boundary rules, rate_limit_keys left join, negative_sampling
-# self-join aliasing), and cohort_retention (weekly, query_defs9) —
-# re-pinned after this round's un-shadowing fix (query_defs19's
-# monthly twin had silently taken its registry name since r7; the
-# monthly one debuts under cohort_retention_monthly).
+# Round-9 rotation (executes the write-ahead plan recorded here last
+# round): the r8-green window rotates OUT; the slots go to the
+# never-driver-checked backlog — waves 23-32 (31 qnames; 30 ride the
+# four new packed suites in query_defs35.py, change_point keeps a
+# direct slot as the group's ~15 s heavy) and wave 34 (landed after
+# r8's definitive sweeps). Also in: the three rows-only->invariant
+# conversions made this round (bin_quantile_scale agreement law,
+# dedup_simhash signature-distance laws, embed_near_dup planted
+# scaled-copy laws — each now oracle-paired, VERDICT r8 item 5),
+# rfm_segments (code changed: quintiles now route through
+# operators.scale.ntile_scale, VERDICT r8 item 7), the five defs33
+# suites (code changed: suite-section SQL now qualifies slot sources,
+# ADVICE r8), and 18 of the 46 r6-latest refreshers (suites first —
+# each packs many singles — then dedup/similarity/sketch/scan/join
+# singles), plus the flagship/books_e2e/stream_windows_suite
+# holdovers.
 #
-# Round-9 rotation plan (write-ahead, the r7-verdict protocol): the
-# r8-green window rotates out; first claim on r9 slots is the
-# remaining never-driver-checked backlog — waves 23–32 minus this
-# round's three code-changed rows: calendar_dim, apportion_budget,
-# winsorize, zone_maps (w23); rank_correlation, weighted_quantiles,
-# growth_mom_yoy, mode_stats (w24); attribution_last_touch,
-# streak_islands, decile_transition, reconcile_daily (w25);
-# twap_value, hazard_curve, table_checksum, topk_with_ties (w26);
-# ttr_stats, group_split, histogram_2d (w27); seasonal_index,
-# discount_qty_corr, adoption_curve (w28); burstiness, max_drawdown,
-# cdf_probes, rank_shift (w29); bootstrap_se, dedup_keep_best (w30);
-# k_anonymity, data_freshness (w31); fd_audit, change_point (w32) —
-# plus wave 34 (scan_schema_drift, zorder_layout, packing_efficiency,
-# added late r8 after the definitive sweeps, per-wave sims on top) —
-# 35 qnames; pack waves 23-26 and 27-29 into two or three
-# query_defs33-style suites (~16 singles packed) and budget
-# change_point (~15 s at sf0.01). That leaves ~15 slots for r6-latest
-# refreshers (the 47 r6-green qnames become three rounds stale in r9:
-# suites first — agg_olap_suite, text_suite, sampling_suite,
-# winnow_suite, scalar_funcs_suite, subquery_suite,
-# pivot_unpivot_suite, then sketch/scan/join singles) plus the
-# flagship/books_e2e/stream_windows_suite holdovers.
+# Round-10 rotation plan (write-ahead, the r7-verdict protocol): the
+# r9-green window rotates out; first claim on r10 slots is the 16
+# r6-latest qnames that didn't fit this round's refresher allotment -
+# variant_ops, token_budget, topk_ordered, lm_quality, dq_audit,
+# outlier_zscore, embed_norm, embed_quantize, multimodal_bytes,
+# multimodal_resize, recursive_cte, scale_invariants, funnel_steps,
+# avi_frames, compact_files, window_range_time - after which every
+# oracle-paired qname's hard row is r7 or newer; the remaining ~30
+# slots go to the then-three-rounds-stale r7 cohort (tpch suites and
+# singles, join_fact/join_sortmerge/join_salted/join_asof, sources/
+# clean/columns suites, grouped_map/udaf_grouped, graph_degree,
+# als_topk, stratified/weighted sampling, snapshot_cdc,
+# partition_pruning, window_hopping, zorder_cluster) prioritized the
+# same way: suites first, then heavy singles.
 WINDOW: tuple[str, ...] = (
     # holdovers: flagship + the end-to-end DAG + the stream suite
-    # (the stream suite row re-hashes the r7-added hopping/ohlc/source
-    # sections — VERDICT r7 item 6)
     "flagship", "books_e2e", "stream_windows_suite",
-    # waves 12-22 packed: 31 singles in 5 slots (query_defs33.py)
+    # waves 23-32 packed: 30 singles in 4 slots (query_defs35.py)
+    "wave23_24_suite", "wave25_26_suite", "wave27_29_suite",
+    "wave30_32_suite",
+    # waves 23-32/34 direct: the CUSUM heavy + late-landing wave 34
+    "change_point", "scan_schema_drift", "zorder_layout",
+    "packing_efficiency",
+    # rows-only -> invariant-oracle conversions (VERDICT r8 item 5)
+    "bin_quantile_scale", "dedup_simhash", "embed_near_dup",
+    # code changed this round - each earns a fresh hard row
+    # (rfm_segments: ntile_scale routing; defs33 suites: qualified
+    # suite-section SQL)
+    "rfm_segments",
     "wave12_suite", "wave13_14_suite", "wave15_16_suite",
     "wave20_21_suite", "wave22_suite",
-    # waves 12-22 direct: heavy / iterative / scale / streaming singles
-    "ts_gapfill", "ohlc_bars", "feature_hashing",
-    "quantile_normalize_scale", "kmeans_invariants", "stream_static_join",
-    "sessionize_batch", "graph_triangles",
-    "mv_incremental", "inverted_index",
-    "graph_bfs", "pca_gram", "ts_interp",
-    "topk_groups_scale", "ts_trend", "lorenz_deciles",
-    "knn_confusion", "class_weights",
-    "funnel_conversion", "cohort_retention_monthly", "profile_table",
-    "edit_distance_pairs", "distinctive_terms",
-    # code changed this round — each earns a fresh hard row
-    "max_concurrency", "rate_limit_keys", "negative_sampling",
-    # un-shadowed this round (weekly events cohort, query_defs9)
-    "cohort_retention",
-    # r5-latest refreshers (three rounds stale)
-    "window_lag_lead", "agg_stats", "join_bucketed", "sketch_kmv",
-    "stream_join", "scd2_upsert", "decontaminate", "corpus_build",
-    "chunk_docs", "redact_pii", "sim_ann_probe", "ann_recall",
-    "dedup_invariants", "report_render", "approx_bounds",
+    # r6-latest refreshers (three rounds stale): suites first
+    "agg_olap_suite", "text_suite", "sampling_suite", "winnow_suite",
+    "scalar_funcs_suite", "subquery_suite", "pivot_unpivot_suite",
+    "columns_part_suite", "distinct_suite", "semi_anti_suite",
+    "set_ops_suite", "window_suite",
+    # r6-latest refreshers: dedup/similarity/corpus singles
+    "dedup_exact", "sim_cosine", "ngram_jaccard", "corpus_curation",
+    "corpus_mixture", "pack_next_fit",
+    # r6-latest refreshers: sketch/join/scan singles
+    "sketch_cms", "sketch_kmv_setops", "heavy_hitters", "join_bloom",
+    "join_skew_aqe", "fuzzy_join",
+    "scan_jsonl", "scan_merge_schema", "scan_orc",
+    "json_map_ops", "date_funcs", "sql_api",
 )
 
 

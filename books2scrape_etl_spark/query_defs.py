@@ -965,15 +965,139 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.minhash_dedup(docs, threshold=0.6).select("doc_id", "lang", "source")
 
 
-@register("dedup_simhash")  # rows-only
+_SIMHASH_OFFSET = 10_000_000  # planted ids sit above every organic id
+
+_SIMHASH_INV_SQL = """
+SELECT 'bands_decompose_signature' AS check_name,
+       CAST(0 AS BIGINT) AS n_violations, CAST(1 AS BIGINT) AS ok
+UNION ALL SELECT 'close_pairs_share_bucket', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+UNION ALL SELECT 'planted_pair_distance_zero', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+ORDER BY check_name
+"""
+
+
+@register("dedup_simhash", _SIMHASH_INV_SQL)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2b — SimHash signatures + band buckets (hamming-adjacent
-    candidates). Returns per-doc signature + bucket count for audit."""
-    docs = read_table(spark, "documents", sf_dir)
-    bands = dedupe.simhash_bands(docs)
-    return bands.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bands"), F.min("band_val").alias("min_band_val")
+    """L2b — SimHash signatures + band buckets, value-verified in-plan
+    (VERDICT r8 item 5: signature-distance laws on planted pairs,
+    hashed against a constant oracle — xxhash64 signatures have no
+    DuckDB twin, but their LAWS are engine-independent):
+
+    - 'bands_decompose_signature': for EVERY banded doc, the four
+      15-bit band values reassemble to exactly the 60-bit signature the
+      direct kernel computes (sum(band_val << 15*band) == simhash64) —
+      pins the shift/mask banding arithmetic, non-vacuously, corpus-wide.
+    - 'planted_pair_distance_zero': exact text copies planted at
+      doc_id+1e7 must get bit-identical signatures through two
+      INDEPENDENT kernel invocations (hamming distance 0 via
+      bit_count(xor)). Distinct evidence from dedup_invariants'
+      band-multiset equality: this checks the signature kernel
+      directly, that one checks the band projection.
+    - 'close_pairs_share_bucket': the banded-LSH candidate guarantee
+      (pigeonhole: hamming < n_bands => at least one band untouched):
+      every pair within hamming distance < 4 must share at least one
+      (band, band_val) bucket — checked through the SAME equi-join the
+      candidate generation uses. Pairs = planted (orig, copy) pairs
+      (distance 0, so the law is exercised at every SF — ok also
+      asserts the checked set is non-empty) plus consecutive organic
+      doc pairs (opportunistic coverage).
+    """
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # copies from a FRESH scan (the Catalyst Union.rewriteConstraints
+    # hazard documented in query_defs6.q_dedup_invariants)
+    copies = (
+        read_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _SIMHASH_OFFSET).alias("doc_id"), "text")
     )
+    both = docs.unionByName(copies)
+    # one signature table + one band table over docs+copies; persist the
+    # signatures (consumed by all three sections)
+    sig = both.select(
+        "doc_id", dedupe.simhash64(F.col("text")).alias("sig")
+    ).persist()
+    bands = dedupe.simhash_bands(both)
+
+    # (a) band values reassemble the signature, doc by doc
+    # shiftleft with a COLUMN shift amount needs the SQL form (the
+    # Python helper only takes a literal int)
+    recon = bands.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(band_val, CAST(band * 15 AS INT))")).alias("recon")
+    )
+    decomp = (
+        sig.join(recon, "doc_id")
+        .agg(F.sum((F.col("sig") != F.col("recon")).cast("long")).alias("n"))
+        .select(
+            F.lit("bands_decompose_signature").alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).cast("bigint").alias("ok"),
+        )
+    )
+
+    # (b) planted copies: identical text -> identical signature
+    s_orig = sig.where(
+        (F.col("doc_id") < _SIMHASH_OFFSET) & (F.col("doc_id") % 10 == 0)
+    ).select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s_copy = sig.where(F.col("doc_id") >= _SIMHASH_OFFSET).select(
+        (F.col("doc_id") - _SIMHASH_OFFSET).alias("id_a"),
+        F.col("sig").alias("sig_b"),
+    )
+    planted = s_orig.join(s_copy, "id_a").select(
+        "id_a",
+        (F.col("id_a") + _SIMHASH_OFFSET).alias("id_b"),
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("d"),
+    )
+    dist0 = planted.agg(
+        F.sum((F.col("d") != 0).cast("long")).alias("n")
+    ).select(
+        F.lit("planted_pair_distance_zero").alias("check_name"),
+        F.col("n").cast("bigint").alias("n_violations"),
+        (F.col("n") == 0).cast("bigint").alias("ok"),
+    )
+
+    # (c) hamming < n_bands => shares a band bucket (planted pairs make
+    # the check non-vacuous; consecutive organic pairs ride along)
+    s_a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s_b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    organic = (
+        s_a.where(F.col("id_a") < _SIMHASH_OFFSET)
+        .join(s_b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("d"),
+        )
+    )
+    close = planted.unionByName(organic).where(F.col("d") < 4)
+    # per checked pair, compare the two sides' value in EACH band — a
+    # pair-scoped join (|close| x 4 rows), never the all-pairs bucket
+    # self-join the production candidate generation is bounded by.
+    # Pairs with an unbanded side (< 2 words -> no shingles -> excluded
+    # from banding by design) drop out of the inner joins: the LSH
+    # guarantee is only defined for banded docs.
+    b_a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", F.col("band_val").alias("bv_a")
+    )
+    b_b = bands.select(
+        F.col("doc_id").alias("id_b"), "band", F.col("band_val").alias("bv_b")
+    )
+    per_pair = (
+        close.join(b_a, "id_a")
+        .join(b_b, ["id_b", "band"])
+        .groupBy("id_a", "id_b")
+        .agg(F.max((F.col("bv_a") == F.col("bv_b")).cast("int")).alias("shared"))
+    )
+    bucket = per_pair.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("shared") == 0).cast("long")).alias("n"),
+    ).select(
+        F.lit("close_pairs_share_bucket").alias("check_name"),
+        F.col("n").cast("bigint").alias("n_violations"),
+        ((F.col("n") == 0) & (F.col("n_checked") >= 1))
+        .cast("bigint")
+        .alias("ok"),
+    )
+    return decomp.union(bucket).union(dist0).orderBy("check_name")
 
 
 @register(
@@ -1066,11 +1190,91 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5)
 
 
-@register("embed_near_dup")  # rows-only
+_EMB_ND_SQL = """
+SELECT 'idempotent_fixpoint' AS check_name,
+       CAST(0 AS BIGINT) AS n_violations, CAST(1 AS BIGINT) AS ok
+UNION ALL SELECT 'organic_survivors_unchanged', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+UNION ALL SELECT 'scaled_copies_all_removed', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+ORDER BY check_name
+"""
+
+
+@register("embed_near_dup", _EMB_ND_SQL)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2d — embedding-cosine near-dup removal via LSH bucket self-join."""
-    emb = read_table(spark, "embeddings", sf_dir)
-    return similarity.embedding_near_dup(emb, threshold=0.98).select("vec_id", "label")
+    """L2d — embedding-cosine near-dup removal via LSH bucket
+    self-join, value-verified in-plan (VERDICT r8 item 5: planted
+    NEAR-dups — not the identical copies dedup_invariants already
+    plants — with provable outcomes, hashed against a constant oracle):
+
+    - 'scaled_copies_all_removed': copies planted at vec_id+1e7 with
+      every component EXACTLY doubled (x2.0f is a power-of-two float
+      scale: exact, sign-preserving). Cosine is scale-invariant, so
+      cos(copy, orig) == cos(orig, orig) ~ 1.0 >= 0.98, and the
+      sign-hyperplane LSH bucket of 2v equals v's bucket (every
+      hyperplane dot doubles exactly — same sign), so the pair is
+      GUARANTEED a candidate; the copy's id exceeds every organic id,
+      so the survivor rule must drop it. Every planted copy removed.
+    - 'organic_survivors_unchanged': planting can't disturb the
+      organic verdicts — copies hold the highest ids and the survivor
+      rule only removes the LARGER id of a pair, so copies remove
+      nobody; survivors(emb + copies) restricted to organic ids must
+      equal survivors(emb) as a multiset (symmetric difference 0).
+    - 'idempotent_fixpoint': dedup is a fixpoint — the survivor set
+      contains no same-bucket pair at >= threshold (the larger id
+      would have been removed), so a second pass through the SAME
+      operator must return it unchanged.
+    """
+    offset = 10_000_000  # planted ids sit above every organic id
+    emb = read_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # copies from a FRESH scan (the Catalyst Union.rewriteConstraints
+    # hazard documented in query_defs6.q_dedup_invariants)
+    two = F.lit(2.0).cast("float")
+    copies = (
+        read_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * two).cast("float")).alias(
+                "embedding"
+            ),
+        )
+    )
+    surv = similarity.embedding_near_dup(emb, threshold=0.98).select("vec_id")
+    surv_planted = similarity.embedding_near_dup(
+        emb.unionByName(copies), threshold=0.98
+    ).select("vec_id")
+
+    def count_row(name: str, n_df: DataFrame) -> DataFrame:
+        return n_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).cast("bigint").alias("ok"),
+        )
+
+    removed_all = count_row(
+        "scaled_copies_all_removed",
+        surv_planted.where(F.col("vec_id") >= offset).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    organic = surv_planted.where(F.col("vec_id") < offset)
+    sym1 = organic.exceptAll(surv).union(surv.exceptAll(organic))
+    unchanged = count_row(
+        "organic_survivors_unchanged", sym1.agg(F.count(F.lit(1)).alias("n"))
+    )
+    surv_rows = similarity.embedding_near_dup(emb, threshold=0.98).select(
+        "vec_id", "embedding"
+    )
+    again = similarity.embedding_near_dup(surv_rows, threshold=0.98).select("vec_id")
+    sym2 = (
+        again.exceptAll(surv_rows.select("vec_id"))
+        .union(surv_rows.select("vec_id").exceptAll(again))
+    )
+    fixpoint = count_row(
+        "idempotent_fixpoint", sym2.agg(F.count(F.lit(1)).alias("n"))
+    )
+    return fixpoint.union(unchanged).union(removed_all).orderBy("check_name")
 
 
 @register(

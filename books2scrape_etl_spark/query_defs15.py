@@ -194,10 +194,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary is exact integer cents (decimal cast before the sum);
     recency is integer epoch-day math (``CAST(ts AS LONG) DIV 86400``
     ≡ DuckDB ``// 86400``); avg_cents is one exact-BIGINT double
-    division. The three ntile windows run on the already-collapsed
-    customer frame — at 1e9 customers they would route through
-    percent_rank_scale (operators/scale.py), the bin_quantile
-    dispatcher posture."""
+    division. The three quintiles route through
+    :func:`operators.scale.ntile_scale` (VERDICT r8 item 7) —
+    bit-identical to ``ntile(5) OVER (ORDER BY value, custkey)`` (the
+    oracle still checks the exact window form) but built as
+    range-partition + local rank + broadcast offsets, so no global
+    window survives in the plan and no lint exemption is needed. No
+    dispatcher either: unlike bin_quantile's exact/approx pair the
+    scale form IS exact, it just never sorts the collapsed customer
+    frame in one task — safe at 1.5 B customers."""
     o = read_table(spark, "orders", sf_dir)
     if dict(o.dtypes).get("o_orderdate") == "timestamp_ntz":
         # micros-NTZ vintage: reinterpret wall clock as UTC (the
@@ -212,25 +217,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mon_cents"),
         F.max(F.expr("CAST(o_orderdate AS LONG) DIV 86400")).alias("last_day"),
     )
+    from books2scrape_etl_spark.operators.scale import ntile_scale
+
     ref = pc.agg(F.max("last_day").alias("ref_day"))
-    r = (
+    # persist the collapsed frame: three ntile_scale passes each take a
+    # tiny per-partition-counts action over it
+    base = (
         pc.crossJoin(F.broadcast(ref))
         .withColumn("rec_days", F.col("ref_day") - F.col("last_day"))
-        .withColumn(
-            "r_q",
-            F.ntile(5)
-            .over(Window.orderBy("rec_days", "o_custkey"))
-            .cast("bigint"),
-        )
-        .withColumn(
-            "f_q",
-            F.ntile(5).over(Window.orderBy("freq", "o_custkey")).cast("bigint"),
-        )
-        .withColumn(
-            "m_q",
-            F.ntile(5).over(Window.orderBy("mon_cents", "o_custkey")).cast("bigint"),
-        )
+        .persist()
     )
+    r = ntile_scale(base, ["rec_days", "o_custkey"], 5, out_col="r_q")
+    r = ntile_scale(r, ["freq", "o_custkey"], 5, out_col="f_q")
+    r = ntile_scale(r, ["mon_cents", "o_custkey"], 5, out_col="m_q")
     return (
         r.groupBy(
             (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("segment")

@@ -146,17 +146,10 @@ def test_no_unbounded_global_window_any_plan(registry_plans):
         "join_fact",  # build_dim surrogate keys (3 dims)
         "join_null_safe",  # build_dim surrogate key
         "surrogate_key",  # build_dim surrogate key
-        # exact ntile(5) x3 on the per-customer collapse (dim-sized by
-        # construction: orders reduce to one row per customer BEFORE the
-        # windows). Distributed twins of the construct are driver-green
-        # (percent_rank_scale via quantile_normalize_scale; quantile
-        # binning via bin_quantile_scale) — query_defs15 documents the
-        # 1e9-customer routing.
-        "rfm_segments",
-        # wave15_16_suite unions rfm_segments verbatim as a section, so
-        # it inherits exactly that single's documented ntile exemption —
-        # no new global window of its own.
-        "wave15_16_suite",
+        # (rfm_segments and its wave15_16_suite wrapper left this list
+        # in round 9: the three quintiles now route through
+        # operators.scale.ntile_scale — bit-identical to the exact
+        # window form, no global window in the plan. VERDICT r8 item 7.)
         # largest-remainder apportionment: the global SUM/ROW_NUMBER
         # windows run over the (segment x priority) cell frame AFTER the
         # fact collapses through a map-side-combining aggregate — input

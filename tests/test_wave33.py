@@ -10,9 +10,9 @@ from books2scrape_etl_spark.query_defs33 import (
     _W12_SECTIONS,
     _W22,
     _W22_SECTIONS,
-    _sect_df,
 )
 from books2scrape_etl_spark.queries import QUERIES
+from books2scrape_etl_spark.suites import sect_df as _sect_df
 
 
 def test_suite_sections_match_single_counts(spark, sf_dir):
