@@ -159,6 +159,10 @@ def test_no_unbounded_global_window_any_plan(registry_plans):
         # prefix_sums_scale offsets pattern instead (query_defs23
         # documents the routing).
         "apportion_budget",
+        # wave23_24_suite unions apportion_budget verbatim as a
+        # section, so it inherits exactly that single's documented
+        # cell-frame exemption — no new global window of its own.
+        "wave23_24_suite",
     }
     for qname, plan in registry_plans.items():
         if qname in documented_exact_ok:
@@ -302,3 +306,78 @@ def test_registry_heap_frozen_after_entry_call():
 
     freeze_registry_heap()
     assert gc.get_freeze_count() > 50_000
+
+
+def test_zorder_layout_lands_and_prunes(spark, sf_dir, tmp_path):
+    """VERDICT r8 item 8 follow-through: the zorder_layout qname proves
+    the Morton locality law in the abstract; this test LANDS the layout
+    — writes the fact z-sorted into range files — and pins the zone-map
+    win on a 2-D predicate:
+
+    - soundness: every row matching the (a, b) rectangle lives in a
+      file whose per-file (min/max a, min/max b) zone intersects it —
+      pruning non-intersecting files can never drop a match;
+    - locality: the z-sorted layout leaves at most HALF the files
+      intersecting (at this SF the rectangle selects ~1/3 of the a
+      domain), while the same data written in hash order leaves
+      nearly every file intersecting — the measured difference IS the
+      Z-ORDER clustering win (Delta/Iceberg OPTIMIZE ZORDER pattern).
+    """
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.query_defs34 import _Z_SPARK
+
+    li = read_table(spark, "lineitem", sf_dir).selectExpr(
+        "l_partkey % 256 AS a",
+        "l_suppkey % 256 AS b",
+        f"CAST({_Z_SPARK} AS BIGINT) AS z",
+    )
+
+    def zones(path):
+        df = spark.read.parquet(path)
+        return (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("a").alias("min_a"), F.max("a").alias("max_a"),
+                F.min("b").alias("min_b"), F.max("b").alias("max_b"),
+            )
+            .collect()
+        )
+
+    a_lo, a_hi, b_lo, b_hi = 0, 63, 0, 63
+
+    def intersecting(rows):
+        return {
+            r["f"]
+            for r in rows
+            if not (
+                r["max_a"] < a_lo or r["min_a"] > a_hi
+                or r["max_b"] < b_lo or r["min_b"] > b_hi
+            )
+        }
+
+    zpath = str(tmp_path / "zsorted")
+    li.repartitionByRange(16, "z").write.mode("overwrite").parquet(zpath)
+    z_rows = zones(zpath)
+    z_live = intersecting(z_rows)
+
+    # soundness: matches only in intersecting zones
+    match_files = {
+        r["f"]
+        for r in spark.read.parquet(zpath)
+        .where(f"a BETWEEN {a_lo} AND {a_hi} AND b BETWEEN {b_lo} AND {b_hi}")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert match_files <= z_live
+
+    # locality: z-layout prunes at least half the files ...
+    assert len(z_rows) >= 8, "need a real multi-file layout to prove pruning"
+    assert len(z_live) <= len(z_rows) // 2, (len(z_live), len(z_rows))
+
+    # ... while a hash-ordered control layout keeps (nearly) all alive
+    hpath = str(tmp_path / "hashed")
+    li.repartition(16).write.mode("overwrite").parquet(hpath)
+    h_rows = zones(hpath)
+    h_live = intersecting(h_rows)
+    assert len(h_live) >= (9 * len(h_rows)) // 10, (len(h_live), len(h_rows))
