@@ -95,7 +95,8 @@ from books2scrape_etl_spark import query_defs35  # noqa: E402,F401  (wraps waves
 # variant_ops, token_budget, topk_ordered, lm_quality, dq_audit,
 # outlier_zscore, embed_norm, embed_quantize, multimodal_bytes,
 # multimodal_resize, recursive_cte, scale_invariants, funnel_steps,
-# avi_frames, compact_files, window_range_time - after which every
+# avi_frames, compact_files, window_range_time, plus sql_api (ceded
+# its r9 slot to the new cc_exact) - after which every
 # oracle-paired qname's hard row is r7 or newer; the remaining ~30
 # slots go to the then-three-rounds-stale r7 cohort (tpch suites and
 # singles, join_fact/join_sortmerge/join_salted/join_asof, sources/
@@ -132,7 +133,12 @@ WINDOW: tuple[str, ...] = (
     "sketch_cms", "sketch_kmv_setops", "heavy_hitters", "join_bloom",
     "join_skew_aqe", "fuzzy_join",
     "scan_jsonl", "scan_merge_schema", "scan_orc",
-    "json_map_ops", "date_funcs", "sql_api",
+    "json_map_ops", "date_funcs",
+    # round-9 continuation: exact-value CC differential (new qname —
+    # upgrades both iterative connected-components operators from
+    # law-checked to value-exact vs a DuckDB recursive-CTE closure).
+    # sql_api ceded its refresher slot; it joins the r10 rotation.
+    "cc_exact",
 )
 
 

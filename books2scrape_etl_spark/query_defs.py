@@ -100,19 +100,61 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, TESTDATA_SCHEMAS["nation"])
 
 
-@register("parse_struct_expand")  # rows-only: HTML parsing UDF, no SQL form
+# Golden-VALUES oracle (the sources_suite 'parse' precedent, full-width):
+# the three detail fixtures in sources/fixtures_html.py are static repo
+# files and parse_books is deterministic, so the ENTIRE 13-column output
+# is pinned literally — every field hand-checkable against the fixture
+# HTML. A parse regression in any field flips the value hash.
+_PARSE_GOLDEN_SQL = """
+SELECT * FROM (VALUES
+  ('A Light in the Attic', 'A classic collection.', 'Poetry',
+   'http://books.toscrape.com/catalogue/media/cache/abc123.jpg',
+   TRUE, CAST(22 AS INTEGER), CAST(3 AS INTEGER), 'abc123', 'Books',
+   'Â£51.77', 'Â£51.77', 'Â£0.00', '0'),
+  ('Tipping the Velvet', 'No description available', 'Historical Fiction',
+   'http://books.toscrape.com/catalogue/media/cache/def456.jpg',
+   TRUE, CAST(20 AS INTEGER), CAST(1 AS INTEGER), 'def456', 'Books',
+   'Â£53.74', 'Â£53.74', 'Â£0.00', '0'),
+  ('Soumission', 'It&#39;s a novel ...more', 'Fiction',
+   'http://books.toscrape.com/catalogue/media/cache/ghi789.jpg',
+   TRUE, CAST(3 AS INTEGER), CAST(5 AS INTEGER), 'ghi789', 'Books',
+   'Â£50.10', 'Â£50.10', 'Â£0.00', '0')
+) AS t("Title", "Description", "Category", "Image_link", "Is_in_Stock",
+       "No_of_books_in_Stock", "Rating", "UPC", "Product Type",
+       "Price (excl. tax)", "Price (incl. tax)", "Tax",
+       "Number of reviews")
+"""
+
+
+@register("parse_struct_expand", _PARSE_GOLDEN_SQL)
 def parse_struct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — HTML -> struct -> star-expanded columns, on a local fixture
-    (never the network)."""
+    (never the network). Oracle: full-width golden VALUES (fixtures are
+    static, parsing is deterministic)."""
     from books2scrape_etl_spark.sources.scrape import html_source, parse_books
     from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
 
     return parse_books(html_source(spark, DETAIL_PAGES))
 
 
-@register("explode_links")  # rows-only: HTML parsing UDF, no SQL form
+_LINKS_GOLDEN_SQL = """
+SELECT * FROM (VALUES
+  ('http://books.toscrape.com/catalogue/page-1.html',
+   'http://books.toscrape.com/catalogue/a-light-in-the-attic_1000/index.html'),
+  ('http://books.toscrape.com/catalogue/page-1.html',
+   'http://books.toscrape.com/catalogue/tipping-the-velvet_999/index.html'),
+  ('http://books.toscrape.com/catalogue/page-1.html',
+   'http://books.toscrape.com/catalogue/soumission_998/index.html'),
+  ('http://books.toscrape.com/catalogue/page-2.html',
+   'http://books.toscrape.com/catalogue/sharp-objects_997/index.html')
+) AS t(listing_url, url)
+"""
+
+
+@register("explode_links", _LINKS_GOLDEN_SQL)
 def explode_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 — listing page -> exploded detail URLs (1->N fan-out)."""
+    """S3 — listing page -> exploded detail URLs (1->N fan-out).
+    Oracle: golden VALUES over the two static listing fixtures."""
     from books2scrape_etl_spark.sources.scrape import extract_links, html_source
     from books2scrape_etl_spark.sources.fixtures_html import LISTING_PAGES
 

@@ -239,3 +239,99 @@ def q_wave30_32_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct window single (its CUSUM scan is the heavy of the group).
     Sections re-run the singles' plans."""
     return _suite_df(spark, sf_dir, _W3032, _W3032_SECTIONS)
+
+
+# ---------------------------------------------------------------------
+# cc_exact — exact-value oracle for the iterative connected-components
+# operators (round-9 continuation; upgrades the CC evidence from
+# invariant laws to value-exact).
+#
+# dedup_cc_star stays rows-only by nature (its edges come from xxhash64
+# minhash signatures, not SQL-computable), but the CC *algorithms*
+# themselves are deterministic graph ops — so run BOTH implementations
+# (large-star/small-star contraction AND min-label propagation,
+# operators/dedupe.py:328,404) over a deterministic, SQL-expressible
+# edge set (the winnowing candidate graph, operators/winnow.py:178,
+# whose oracle already exists for winnow_candidates) and compare
+# component labels value-exactly against an independent DuckDB
+# transitive-closure: WITH RECURSIVE min-label reachability (UNION
+# dedup terminates it; components are bounded by winnow's max_df=50
+# fan-out cap, so the closure stays tiny even at sf0.1).
+#
+# A non-vacuity row carries the edge count: an empty candidate graph
+# cannot silently hollow the check.
+# ---------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from books2scrape_etl_spark.io import read_table  # noqa: E402
+from books2scrape_etl_spark.query_defs4 import _WINNOW_FPS_CTE  # noqa: E402
+
+_CC_EXACT_SQL = f"""
+WITH RECURSIVE {_WINNOW_FPS_CTE},
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node, CAST(MIN(label) AS BIGINT) AS component FROM reach GROUP BY node
+)
+SELECT 'star' AS algo, CAST(node AS BIGINT) AS doc_id, component FROM comp
+UNION ALL
+SELECT 'prop' AS algo, CAST(node AS BIGINT) AS doc_id, component FROM comp
+UNION ALL
+SELECT 'edges' AS algo, CAST(-1 AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS component
+FROM cand
+"""
+
+
+@register("cc_exact", _CC_EXACT_SQL)
+def q_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact differential for BOTH connected-components
+    implementations (operators/dedupe.py: min-label propagation :328,
+    large-star/small-star contraction :404) on the deterministic
+    winnowing candidate graph. The oracle recomputes components as a
+    recursive-CTE transitive min-label closure in DuckDB — a third,
+    independent implementation — so any wrong merge or split in either
+    iterative operator flips value rows, not just law booleans. The
+    'edges' row pins candidate-graph cardinality (non-vacuity: an
+    empty graph can't silently pass)."""
+    from books2scrape_etl_spark.operators.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+    from books2scrape_etl_spark.operators.winnow import winnow_candidates
+
+    docs = read_table(spark, "documents", sf_dir)
+    cand = winnow_candidates(docs, max_df=50, min_shared=3).persist()
+    pairs = cand.select("id_a", "id_b")
+    star = connected_components_star(pairs)
+    prop = connected_components(pairs)
+    n_edges = cand.agg(
+        F.lit("edges").alias("algo"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.count(F.lit(1)).alias("component"),
+    )
+    out = (
+        star.select(F.lit("star").alias("algo"), "doc_id", "component")
+        .union(prop.select(F.lit("prop").alias("algo"), "doc_id", "component"))
+        .union(n_edges)
+    )
+    return out
