@@ -61,6 +61,7 @@ from books2scrape_etl_spark import query_defs32  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earlier modules' oracles — keep after them)
 from books2scrape_etl_spark import query_defs34  # noqa: E402,F401  (wraps defs4's packing oracle — keep last)
 from books2scrape_etl_spark import query_defs35  # noqa: E402,F401  (wraps waves 23-32's oracles — keep after them)
+from books2scrape_etl_spark import query_defs36  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -96,7 +97,9 @@ from books2scrape_etl_spark import query_defs35  # noqa: E402,F401  (wraps waves
 # outlier_zscore, embed_norm, embed_quantize, multimodal_bytes,
 # multimodal_resize, recursive_cte, scale_invariants, funnel_steps,
 # avi_frames, compact_files, window_range_time, plus sql_api (ceded
-# its r9 slot to the new cc_exact) - after which every
+# its r9 slot to the new cc_exact) and the round-9-continuation
+# additions line_dedup / parse_struct_expand / explode_links (new
+# oracle-paired, never driver-rowed) - after which every
 # oracle-paired qname's hard row is r7 or newer; the remaining ~30
 # slots go to the then-three-rounds-stale r7 cohort (tpch suites and
 # singles, join_fact/join_sortmerge/join_salted/join_asof, sources/
