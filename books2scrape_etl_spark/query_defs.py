@@ -92,10 +92,22 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — CSV scan with an explicit schema (no inference pass), after
     an S5 CSV-sink round trip (extract_pipeline.py:89 /
-    transformation_pipeline.py:40 analogue)."""
+    transformation_pipeline.py:40 analogue).
+
+    The scratch path is keyed by applicationId (the scan_schema_drift
+    precedent): a shared fixed path races overwrite-vs-read when two
+    sessions run this qname concurrently — benign today only because
+    nation is SF-invariant, but the class of bug is the same."""
     from books2scrape_etl_spark.io import read_csv, write_csv
 
-    path = os.path.join("/tmp/spark_graft_scratch", "nation_csv")
+    path = os.path.join(
+        "/tmp/spark_graft_scratch",
+        f"nation_csv_{spark.sparkContext.applicationId}",
+    )
+    import atexit as _atexit
+    import shutil as _shutil
+
+    _atexit.register(_shutil.rmtree, path, ignore_errors=True)
     write_csv(read_table(spark, "nation", sf_dir), path, single_file=True)
     return read_csv(spark, path, TESTDATA_SCHEMAS["nation"])
 
