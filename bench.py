@@ -64,6 +64,22 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
 
     total = round(sum(per_query.values()), 3)
+
+    # Flare self-diagnosis: this host intermittently taxes ONE random
+    # query 5-15x for ~10-20 s (BASELINE.md round-9 ledger — ruled out
+    # JVM GC / steal / cgroup throttling; it's co-tenant contention).
+    # A second same-JVM pass re-times every query warm so a spike in
+    # the cold pass is identifiable from this artifact alone: a flared
+    # query reads normal warm, a real regression stays slow in both.
+    # The headline metric ("value") remains the cold total, unchanged
+    # since round 1.
+    per_query_warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        per_query_warm[name] = round(time.time() - t0, 3)
+    warm_total = round(sum(per_query_warm.values()), 3)
     print(
         json.dumps(
             {
@@ -71,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_warm": per_query_warm,
+                "warm_total": warm_total,
                 "sf": sf_dir,
                 # proves the gc.freeze fix was active during this run
                 # (VERDICT r8 item 1; ~100k+ when the registry is frozen)
