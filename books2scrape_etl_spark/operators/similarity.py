@@ -187,6 +187,16 @@ def kmeans_centroids(
     feats = train.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
+    # An empty training set (empty corpus, or train_fraction sampling
+    # away everything) makes KMeans.fit die with an opaque executor
+    # Py4JJavaError; fail at the API boundary instead. isEmpty is a
+    # take(1) — noise next to the fit's own jobs. (k > |train| is fine:
+    # spark.ml returns the <= k distinct points as centroids.)
+    if feats.isEmpty():
+        raise ValueError(
+            "kmeans_centroids: empty training set "
+            f"(train_fraction={train_fraction}) — nothing to quantize"
+        )
     model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 

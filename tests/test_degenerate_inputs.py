@@ -240,6 +240,22 @@ def test_similarity_empty_and_small(spark):
     assert brute_force_topk(emb2, q, k=10).count() == 2
 
 
+def test_kmeans_centroids_edges(spark):
+    from books2scrape_etl_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # more lists than points: spark.ml returns the distinct points
+    centers = kmeans_centroids(emb, n_lists=8)
+    assert len(centers) == 2
+    # empty training set: clear ValueError at the API boundary, not an
+    # opaque executor Py4JJavaError from inside KMeans.fit
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty training set"):
+        kmeans_centroids(empty, n_lists=2)
+
+
 # ---------------------------------------------------------------- winnow
 
 
