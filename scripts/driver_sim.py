@@ -49,7 +49,15 @@ def main():
     from pyspark.sql import SparkSession
 
     assert os.getcwd() != "/root/repo", "run from outside the repo"
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master("local[8]")
+    # SIM_CONF="k=v;k=v" — robustness probes (e.g. AQE off, adversarial
+    # shuffle partition counts) to prove values never depend on the
+    # runtime planner or the partitioning. Default stays vanilla (the
+    # driver's own session shape).
+    for kv in filter(None, os.environ.get("SIM_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
 
     t0 = time.time()
     df = e.entry(spark)
