@@ -6,6 +6,10 @@
 #
 #   bash scripts/robustness_matrix.sh [SF_DIR]
 #
+# SIM_LIMIT / SIM_ONLY pass through to the sims (SIM_LIMIT=3 gives a
+# ~5-minute plumbing check across all five axes; unset = full registry,
+# ~10 min per axis).
+#
 # Axes (first measured green in the round-9 second continuation):
 #   1 vanilla          — the driver's own session shape
 #   2 perturbed data   — facts hash-sampled 80-90% (data-vintage probe)
