@@ -283,3 +283,63 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         for r in streaming_static_join(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_state_survives_midrun_kill(spark, tmp_path):
+    """State-store recovery, not just source-offset recovery: a
+    dropDuplicates stream hard-stopped MID-DRAIN must, after restart
+    from the same checkpoint, still suppress duplicates of ids it
+    deduped before the kill. If the state store were lost on restart,
+    the second wave's copies of the first wave's ids would re-emit and
+    the sink would hold duplicates."""
+    import os
+    import time
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(ids, name):
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.parquet(
+            os.path.join(landing, name)
+        )
+
+    def start():
+        return (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing + "/*")
+            .dropDuplicates(["id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # wave 1: four 1-file micro-batches, heavy overlap between files
+    land(range(0, 100), "f1")
+    land(range(0, 120), "f2")   # 0..99 duplicate f1
+    land(range(50, 150), "f3")  # 50..119 duplicate f1/f2
+    land(range(0, 150), "f4")   # all duplicates
+    q = start()
+    # hard-stop as soon as at least one micro-batch has committed
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "no micro-batch committed within 120s"
+    q.stop()
+    q.awaitTermination(60)
+
+    # wave 2: every id 0..149 again (pure duplicates of wave-1 state)
+    # plus fresh 150..199
+    land(range(0, 200), "f5")
+    q2 = start()
+    q2.awaitTermination(180)
+    assert not q2.isActive
+
+    final = spark.read.parquet(out)
+    ids = [r.id for r in final.select("id").collect()]
+    assert len(ids) == len(set(ids)), "duplicates in sink: state store lost on restart"
+    assert sorted(set(ids)) == list(range(200))
