@@ -513,6 +513,46 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     return labels
 
 
+def verified_similar_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    bands: int | None = None,
+    rows: int | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Verified-similar edge list (id_a < id_b): the LSH band equi-join
+    proposes candidates, exact shingle Jaccard >= ``threshold`` verifies
+    them. This is the shared front half of the component-exact dedup
+    paths — exposed so callers can run several CC algorithms (or other
+    graph consumers) over ONE candidate-generation pass instead of
+    paying the minhash stage per consumer."""
+    if bands is None or rows is None:
+        bands, rows = solve_bands(threshold, num_hashes)
+    sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
+    b = minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh).persist()
+    left, right = b.alias("l"), b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_dedup_cc(
     docs: DataFrame,
     text_col: str = "text",
@@ -535,28 +575,8 @@ def minhash_dedup_cc(
     join+agg per round) or ``"star"`` (large-star/small-star, O(log)
     rounds — for long-chain similarity graphs).
     """
-    if bands is None or rows is None:
-        bands, rows = solve_bands(threshold, num_hashes)
-    sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
-    b = minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh).persist()
-    left, right = b.alias("l"), b.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
-    )
-    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified_pairs = (
-        cand.join(sha, "id_a")
-        .join(shb, "id_b")
-        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
-        .select("id_a", "id_b")
+    verified_pairs = verified_similar_pairs(
+        docs, text_col, threshold, bands, rows, shingle_n, num_hashes
     )
     cc = connected_components_star if algorithm == "star" else connected_components
     comp = cc(verified_pairs)

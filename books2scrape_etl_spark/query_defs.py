@@ -971,22 +971,106 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.session_windows_batch(ev, gap_minutes=30)
 
 
-@register("stream_tumbling_rt")  # rows-only: real readStream execution
+_TUMBLING_RT_SQL = """
+SELECT 'drained_nonempty' AS check_name,
+       CAST(0 AS BIGINT) AS n_violations, CAST(1 AS BIGINT) AS ok
+UNION ALL SELECT 'emitted_matches_batch', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+UNION ALL SELECT 'sub_horizon_windows_all_emitted', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+ORDER BY check_name
+"""
+
+
+@register("stream_tumbling_rt", _TUMBLING_RT_SQL)
 def q_stream_tumbling_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+T2+T4 — real Structured Streaming run: watermarked tumbling
-    window over readStream(events), availableNow drain to memory sink."""
-    return stream_ops.streaming_tumbling(spark, sf_dir, minutes=10)
+    window over readStream(events), availableNow drain to memory sink,
+    converted rows-only → invariant oracle. Append mode emits a window
+    only once the final watermark (max event time − 1 h, millisecond
+    precision inside Spark) passes its end, so the drain is a strict
+    subset of the batch form — and BOTH boundary checks below are
+    stated one second away from the watermark so they can never flip
+    on the ≤-vs-< eviction edge or the ms-vs-s truncation:
+
+    - 'emitted_matches_batch': every drained (window, type, count) row
+      exists verbatim in the batch recompute (exceptAll, violations 0)
+      — a duplicate emission, a double-counted micro-batch, or a
+      dropped-as-late row all flag here;
+    - 'sub_horizon_windows_all_emitted': every batch window whose end
+      is ≤ max_es − 3601 (strictly below any possible watermark
+      placement) must have been emitted — state stuck unevicted or a
+      watermark that never advanced flags here;
+    - 'drained_nonempty': the drain produced rows at all.
+
+    (Measured at sf0.001 and sf0.01: the emitted set equals EXACTLY
+    the batch windows with end ≤ watermark — 975/977 and 8003/8016
+    windows; the two/thirteen withheld sit inside the final hour.)
+    """
+    ev = read_table(spark, "events", sf_dir)
+    batch = stream_ops.tumbling_counts_window(ev, 10)
+    drained = stream_ops.streaming_tumbling(spark, sf_dir, minutes=10)
+    mx = ev.agg(F.max(F.col("ts").cast("long")).alias("max_es"))
+
+    def check(name: str, n_df: DataFrame) -> DataFrame:
+        return n_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).cast("bigint").alias("ok"),
+        )
+
+    extra = drained.exceptAll(batch)
+    c_match = check("emitted_matches_batch", extra.agg(F.count(F.lit(1)).alias("n")))
+    unemitted = batch.join(
+        drained, ["w_start", "w_end", "event_type", "n_events"], "left_anti"
+    ).crossJoin(F.broadcast(mx)).where(F.col("w_end") <= F.col("max_es") - 3601)
+    c_horizon = check(
+        "sub_horizon_windows_all_emitted",
+        unemitted.agg(F.count(F.lit(1)).alias("n")),
+    )
+    c_nonempty = check(
+        "drained_nonempty",
+        drained.agg(
+            F.when(F.count(F.lit(1)) == 0, 1).otherwise(0).alias("n")
+        ),
+    )
+    return c_nonempty.union(c_match).union(c_horizon).orderBy("check_name")
 
 
-@register("stream_dedup_rt")  # rows-only: real readStream execution
+@register(
+    "stream_dedup_rt",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def q_stream_dedup_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 — dropDuplicatesWithinWatermark over a real stream."""
+    """T5 — dropDuplicatesWithinWatermark over a real stream, drained
+    complete. Direct oracle (conversion from rows-only): the deduped
+    per-type counts must equal the batch distinct-event_id counts —
+    whether state lives in-batch or across batches, every duplicate
+    collapses. The duplicated-landing stress (every event arriving
+    twice) is the suite's 'dedup' section; this single pins the
+    plain-stream drain's values."""
     return stream_ops.streaming_dedup(spark, sf_dir)
 
 
-@register("stream_stateful_rt")  # rows-only: real readStream execution
+@register(
+    "stream_stateful_rt",
+    """
+    SELECT user_id, CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS n_seen
+    FROM events GROUP BY user_id
+    """,
+)
 def q_stream_stateful_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 — applyInPandasWithState running max per user."""
+    """T6 — applyInPandasWithState running max per user, drained in
+    update mode. Direct oracle (conversion from rows-only): each
+    sf dir lands events as ONE parquet file, so the availableNow drain
+    is a single data micro-batch and the update-mode memory sink holds
+    exactly one row per user — the final state: MAX(value), COUNT(*).
+    (MAX passes the stored double through unchanged — hash-safe. The
+    suite's 'stateful' section carries the same single-file contract;
+    a multi-file vintage would surface as a row-count mismatch here,
+    loudly, not as silent drift.)"""
     return stream_ops.stateful_running_max(spark, sf_dir)
 
 

@@ -359,32 +359,205 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidates(docs, max_df=50, min_shared=3)
 
 
-@register("pack_ffd")  # rows-only: FFD's bin scan has no tractable SQL twin
+def _check_row(name: str, n_df: DataFrame) -> DataFrame:
+    """(kind='check', k=name, n1=violations, n2=ok) from a 1-row agg
+    holding column ``n`` — the invariant-oracle row shape shared by the
+    pack_ffd / dedup_cc_star / embed_generate conversions (the
+    embed_near_dup pattern, VERDICT r8 item 5)."""
+    return n_df.select(
+        F.lit("check").alias("kind"),
+        F.lit(name).alias("k"),
+        F.col("n").cast("bigint").alias("n1"),
+        (F.col("n") == 0).cast("bigint").alias("n2"),
+    )
+
+
+_PACK_FFD_SQL = """
+    SELECT 'lang' AS kind, lang AS k,
+           CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(n_chars) AS BIGINT) AS n2
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'check', v.k, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+    FROM (VALUES ('capacity_or_oversize_singleton'),
+                 ('every_doc_packed_exactly_once'),
+                 ('pack_ids_contiguous'),
+                 ('bins_within_proven_bounds')) AS v(k)
+    ORDER BY kind, k
+    """
+
+
+@register("pack_ffd", _PACK_FFD_SQL)
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit-decreasing packing quality summary per language
-    (operators/packing.py): tighter packs than next-fit (≤ 11/9·OPT),
-    deterministic via (size desc, id asc) placement order. Unit tests
-    pin the invariants (capacity respected, every doc exactly once,
-    fill ratio ≥ next-fit's)."""
-    from books2scrape_etl_spark.operators.packing import pack_first_fit_decreasing, pack_stats
+    """First-fit-decreasing packing (operators/packing.py), converted
+    rows-only → invariant oracle (the embed_near_dup pattern): FFD's
+    bin scan has no tractable SQL twin, but its LAWS do —
 
-    docs = read_table(spark, "documents", sf_dir)
-    packed = pack_first_fit_decreasing(docs, "lang", "doc_id", "n_chars", 2048)
-    return pack_stats(packed, "lang", "n_chars", 2048).orderBy("lang")
+    - 'capacity_or_oversize_singleton': every pack fits the 2048-char
+      window, except oversize docs, which must sit alone (the kernel
+      opens them a negative-remainder pack nothing else can enter);
+    - 'every_doc_packed_exactly_once': packed ids ≡ input ids as a
+      multiset (full-outer placement-count join, violations 0);
+    - 'pack_ids_contiguous': per group, pack ids are exactly 1..n;
+    - 'bins_within_proven_bounds': LB ≤ n_packs ≤ UB per group, with
+      LB = n_oversize + ceil(sum_non/cap) (counting both pack kinds)
+      and UB = n_oversize + floor(2·sum_non/cap) + 1 — the any-fit
+      theorem: two non-oversize FFD packs can't both end ≤ half full
+      (the later pack's opening item didn't fit the earlier one, so it
+      alone exceeds cap/2). Data-independent, unlike the empirical
+      "FFD ≤ next-fit" the unit tests also pin on this corpus.
+
+    The per-lang rows carry SQL-exact doc/char totals so the hash
+    still pins the input contract, not just the booleans.
+    """
+    from books2scrape_etl_spark.operators.packing import pack_first_fit_decreasing
+
+    cap = 2048
+    docs = read_table(spark, "documents", sf_dir).select("lang", "doc_id", "n_chars")
+    packed = pack_first_fit_decreasing(docs, "lang", "doc_id", "n_chars", cap)
+    per_pack = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_chars").alias("pack_size"),
+        F.count(F.lit(1)).alias("n_in"),
+        F.max("n_chars").alias("max_item"),
+    )
+    bad_cap = per_pack.where(
+        ~(
+            (F.col("pack_size") <= cap)
+            | ((F.col("n_in") == 1) & (F.col("max_item") > cap))
+        )
+    )
+    placed = packed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_placed"))
+    bad_cov = (
+        docs.select("doc_id")
+        .join(placed, "doc_id", "full")
+        .where(F.coalesce(F.col("n_placed"), F.lit(0)) != 1)
+    )
+    per_lang = per_pack.groupBy("lang").agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.min("pack_id").alias("min_pid"),
+        F.max("pack_id").alias("max_pid"),
+    )
+    bounds = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("n_chars") > cap, 1).otherwise(0)).alias("n_over"),
+        F.sum(F.when(F.col("n_chars") <= cap, F.col("n_chars")).otherwise(0)).alias(
+            "sum_non"
+        ),
+    )
+    j = per_lang.join(bounds, "lang", "full")
+    bad_contig = j.where(
+        (F.col("min_pid") != 1) | (F.col("max_pid") != F.col("n_packs"))
+    )
+    lb = F.col("n_over") + F.expr(f"(sum_non + {cap - 1}) div {cap}")
+    ub = F.col("n_over") + F.expr(f"(2 * sum_non) div {cap}") + F.lit(1)
+    bad_bounds = j.where(~F.col("n_packs").between(lb, ub))
+
+    def n(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    lang_rows = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum("n_chars").cast("bigint").alias("n2"),
+        )
+        .select(
+            F.lit("lang").alias("kind"), F.col("lang").alias("k"), "n1", "n2"
+        )
+    )
+    return (
+        lang_rows.union(_check_row("capacity_or_oversize_singleton", n(bad_cap)))
+        .union(_check_row("every_doc_packed_exactly_once", n(bad_cov)))
+        .union(_check_row("pack_ids_contiguous", n(bad_contig)))
+        .union(_check_row("bins_within_proven_bounds", n(bad_bounds)))
+        .orderBy("kind", "k")
+    )
 
 
-@register("dedup_cc_star")  # rows-only: iterative algorithm, no SQL twin
+_CC_STAR_SQL = """
+    SELECT 'check' AS kind, v.k,
+           CAST(0 AS BIGINT) AS n1, CAST(1 AS BIGINT) AS n2
+    FROM (VALUES ('star_equals_propagation'),
+                 ('no_exact_dup_pair_survives'),
+                 ('one_survivor_per_component')) AS v(k)
+    ORDER BY k
+    """
+
+
+@register("dedup_cc_star", _CC_STAR_SQL)
 def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 exact-grouping dedup with large-star/small-star connected
     components (operators/dedupe.py:connected_components_star — O(log)
-    rounds vs propagation's O(diameter); Kiveris et al. 2014). Unit
-    tests verify both CC implementations agree with a union-find ground
-    truth on chains and random graphs."""
-    from books2scrape_etl_spark.operators.dedupe import minhash_dedup_cc
+    rounds vs propagation's O(diameter); Kiveris et al. 2014),
+    converted rows-only → invariant oracle: the xxhash64-seeded kept
+    set has no SQL twin, but one candidate-generation pass
+    (verified_similar_pairs) feeds BOTH CC algorithms and three laws —
+
+    - 'star_equals_propagation': the two implementations' min-id
+      labelings agree node-for-node on the same verified edge list
+      (full-outer label join, violations 0) — the in-plan differential
+      the unit tests run on synthetic chains, here on real data;
+    - 'no_exact_dup_pair_survives': docs with identical text and a
+      non-empty shingle set share all band signatures, so every such
+      pair is a guaranteed candidate at Jaccard 1 — the group is a
+      clique in one component, which keeps at most one of them. (Not
+      "exactly one": the component's min-id survivor may be a NEAR-dup
+      with different text, legitimately leaving the group with zero.);
+    - 'one_survivor_per_component': each component keeps exactly its
+      min-id member — dedup drops size-1 per component, no more, no
+      less.
+    """
+    from books2scrape_etl_spark.operators import dedupe
 
     docs = read_table(spark, "documents", sf_dir)
-    out = minhash_dedup_cc(docs, threshold=0.6, algorithm="star")
-    return out.select("doc_id", "lang", "source", "n_chars")
+    pairs = dedupe.verified_similar_pairs(docs, threshold=0.6).persist()
+    comp_star = dedupe.connected_components_star(pairs)
+    comp_prop = dedupe.connected_components(pairs)
+    lab = comp_star.select(
+        "doc_id", F.col("component").alias("c_star")
+    ).join(
+        comp_prop.select("doc_id", F.col("component").alias("c_prop")),
+        "doc_id",
+        "full",
+    )
+    bad_agree = lab.where(
+        ~(F.col("c_star") == F.col("c_prop"))
+        | F.col("c_star").isNull()
+        | F.col("c_prop").isNull()
+    )
+    surv = docs.join(
+        comp_star.where(F.col("doc_id") != F.col("component")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id")
+    elig = docs.where(
+        F.size(dedupe.word_shingles("text", 3)) > 0
+    ).select("doc_id", F.md5("text").alias("fp"))
+    grp = elig.groupBy("fp").agg(F.count(F.lit(1)).alias("n_members"))
+    surv_per_fp = (
+        elig.join(surv, "doc_id").groupBy("fp").agg(F.count(F.lit(1)).alias("n_surv"))
+    )
+    bad_exact = (
+        grp.where(F.col("n_members") >= 2)
+        .join(surv_per_fp, "fp", "left")
+        .where(F.coalesce(F.col("n_surv"), F.lit(0)) > 1)
+    )
+    surv_per_comp = (
+        comp_star.join(surv, "doc_id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_surv"))
+    )
+    bad_comp = comp_star.select("component").distinct().join(
+        surv_per_comp, "component", "left"
+    ).where(F.coalesce(F.col("n_surv"), F.lit(0)) != 1)
+
+    def n(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    return (
+        _check_row("star_equals_propagation", n(bad_agree))
+        .union(_check_row("no_exact_dup_pair_survives", n(bad_exact)))
+        .union(_check_row("one_survivor_per_component", n(bad_comp)))
+        .orderBy("k")
+    )
 
 
 # ---------------------------------------------------------------------
@@ -862,11 +1035,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.click_purchase_join_batch(ev, window_minutes=30)
 
 
-@register("stream_join_rt")  # rows-only: real stream-stream join execution
+@register("stream_join_rt", _STREAM_JOIN_SQL)
 def q_stream_join_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 — watermarked stream-stream interval join over a real
     readStream pair (state eviction bounded by watermark + join window;
-    see streaming/windows.py:streaming_click_purchase_join)."""
+    see streaming/windows.py:streaming_click_purchase_join). Direct
+    oracle (conversion from rows-only): the drained pair set must equal
+    the batch interval join the oracle replays — the same
+    _STREAM_JOIN_SQL the stream_windows_suite 'join' section has
+    hash-checked since r5, now also a hard row for the single."""
     from books2scrape_etl_spark.streaming import windows as stream_ops
 
     return stream_ops.streaming_click_purchase_join(spark, sf_dir, window_minutes=30)
@@ -1055,20 +1232,73 @@ def q_pivot_unpivot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p_rows[0].union(p_rows[1]).union(up)
 
 
-@register("embed_generate")  # rows-only: the model forward pass has no SQL twin
+_EMBED_GEN_SQL = """
+    SELECT 'check' AS kind, v.k,
+           CAST(0 AS BIGINT) AS n1, CAST(1 AS BIGINT) AS n2
+    FROM (VALUES ('dim_is_16'),
+                 ('ids_bijective_with_documents'),
+                 ('repartition_invariant'),
+                 ('unit_or_zero_norms')) AS v(k)
+    ORDER BY k
+    """
+
+
+@register("embed_generate", _EMBED_GEN_SQL)
 def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch embedding generation (operators/inference.py): broadcast
     projection weights + mapInPandas forward pass, L2-normalized
-    array<double> output. The producer side of the embeddings table the
-    similarity/ANN/near-dup operators consume. Unit tests pin
-    determinism under repartitioning, unit norms, and a numpy reference
-    forward pass."""
+    array<double> output — the producer side of the embeddings table
+    the similarity/ANN/near-dup operators consume. Converted rows-only
+    → invariant oracle (the embed_near_dup pattern): the forward pass
+    has no SQL twin, but its output contract does —
+
+    - 'ids_bijective_with_documents': one embedding per input doc,
+      no extras, no drops (full-outer placement-count join);
+    - 'unit_or_zero_norms': every vector's L2 norm is 1 within float32
+      accumulation error (1e-5), or exactly 0 for token-less docs;
+    - 'dim_is_16': the declared output dimension, every row;
+    - 'repartition_invariant': the forward pass run again on a
+      repartition(17) of the input is BIT-identical per doc — the
+      batch-shape-independence contract (pairwise-sum accumulation
+      over the vocab axis) the module documents, checked in-plan on
+      real data, not just the unit tests' toy corpus.
+    """
     from books2scrape_etl_spark.operators.inference import embed_generate
 
     docs = read_table(spark, "documents", sf_dir)
-    out = embed_generate(docs)
-    # surface a stable scalar alongside the vector for the rows check
-    return out.select("doc_id", "embedding", F.size("embedding").alias("dim"))
+    emb = embed_generate(docs)
+    placed = emb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_placed"))
+    bad_ids = (
+        docs.select("doc_id")
+        .join(placed, "doc_id", "full")
+        .where(F.coalesce(F.col("n_placed"), F.lit(0)) != 1)
+    )
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    norm = F.sqrt(sq)
+    bad_norm = emb.where(
+        ~((F.abs(norm - 1.0) <= 1e-5) | (norm == 0.0))
+    )
+    bad_dim = emb.where(F.size("embedding") != 16)
+    emb2 = embed_generate(docs.repartition(17)).select(
+        F.col("doc_id"), F.col("embedding").alias("embedding_b")
+    )
+    bad_repart = (
+        emb.join(emb2, "doc_id", "full")
+        .where(~F.col("embedding").eqNullSafe(F.col("embedding_b")))
+    )
+
+    def n(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    return (
+        _check_row("ids_bijective_with_documents", n(bad_ids))
+        .union(_check_row("unit_or_zero_norms", n(bad_norm)))
+        .union(_check_row("dim_is_16", n(bad_dim)))
+        .union(_check_row("repartition_invariant", n(bad_repart)))
+        .orderBy("k")
+    )
 
 
 @register(

@@ -144,6 +144,35 @@ def test_pack_ffd_tighter_than_next_fit(spark, sf_dir):
     assert ffd_packs <= nf_packs
 
 
+def test_pack_ffd_kernel_proven_bin_bounds():
+    """The data-independent bounds the pack_ffd invariant oracle pins:
+    LB = n_over + ceil(sum_non/cap) <= n_packs <= n_over +
+    floor(2*sum_non/cap) + 1 (any-fit: two non-oversize packs can't
+    both end <= half full). Checked on randomized instances so the
+    in-plan law never rests on one corpus's size distribution."""
+    import numpy as np
+
+    from books2scrape_etl_spark.operators.packing import _ffd_kernel
+
+    rng = np.random.default_rng(7)
+    for cap in (64, 1000, 2048):
+        for _ in range(50):
+            n = int(rng.integers(1, 200))
+            sizes = rng.integers(0, int(cap * 1.5), size=n).astype(np.int64)
+            packs = _ffd_kernel(sizes, cap)
+            n_packs = len(set(packs))
+            over = sizes > cap
+            n_over = int(over.sum())
+            sum_non = int(sizes[~over].sum())
+            lb = n_over + -(-sum_non // cap)
+            ub = n_over + (2 * sum_non) // cap + 1
+            assert lb <= n_packs <= ub, (cap, sizes.tolist(), n_packs, lb, ub)
+            # oversize docs really are singletons (the exemption the
+            # capacity check relies on)
+            for p in set(packs[over]):
+                assert int((packs == p).sum()) == 1
+
+
 def test_pack_kernels_oversize_and_determinism():
     import numpy as np
 
