@@ -818,12 +818,35 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_foreachbatch_rt")  # rows-only: side-effecting sink
+_FOREACHBATCH_SQL = """
+    SELECT 'type' AS kind, event_type AS k,
+           CAST(COUNT(*) AS BIGINT) AS n1, CAST(1 AS BIGINT) AS n2
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'check', v.k, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+    FROM (VALUES ('every_landed_row_has_batch_id'),
+                 ('landed_equals_source_multiset')) AS v(k)
+    ORDER BY kind, k
+    """
+
+
+@register("stream_foreachbatch_rt", _FOREACHBATCH_SQL)
 def q_stream_foreachbatch_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 sink variant — foreachBatch: each micro-batch lands as
     parquet via the engine's own writer (the exactly-once custom-sink
-    idiom; batch id available for idempotent writes). Returns the
-    landed rows re-read from the sink."""
+    idiom; batch id available for idempotent writes). Converted
+    rows-only → invariant oracle, batch-split-INSENSITIVELY (how the
+    stream chunks into micro-batches is planner business, so no law
+    here may mention batch count):
+
+    - 'landed_equals_source_multiset': the landed (event_id,
+      event_type, value) rows re-read from the sink equal the source
+      events as a multiset (exceptAll both ways) — a dropped batch,
+      a double-landed batch, or a partial file all flag here; this is
+      the exactly-once contract the foreachBatch idiom exists for;
+    - 'every_landed_row_has_batch_id': the writer stamped each row;
+    - the per-type 'type' rows carry SQL-exact landed counts.
+    """
     import os as _os
     import tempfile as _tf
     import uuid as _uuid
@@ -845,9 +868,37 @@ def q_stream_foreachbatch_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("batch_id").alias("n_batches")
+    landed = spark.read.parquet(out)
+    src = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
     )
+    slim = landed.select("event_id", "event_type", "value")
+    diff = slim.exceptAll(src).union(src.exceptAll(slim))
+    type_rows = landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    ).select(
+        F.lit("type").alias("kind"),
+        F.col("event_type").alias("k"),
+        "n1",
+        F.lit(1).cast("bigint").alias("n2"),
+    )
+
+    def check(name: str, n_df: DataFrame) -> DataFrame:
+        return n_df.select(
+            F.lit("check").alias("kind"),
+            F.lit(name).alias("k"),
+            F.col("n").cast("bigint").alias("n1"),
+            (F.col("n") == 0).cast("bigint").alias("n2"),
+        )
+
+    c_multi = check(
+        "landed_equals_source_multiset", diff.agg(F.count(F.lit(1)).alias("n"))
+    )
+    c_bid = check(
+        "every_landed_row_has_batch_id",
+        landed.where(F.col("batch_id").isNull()).agg(F.count(F.lit(1)).alias("n")),
+    )
+    return type_rows.union(c_bid).union(c_multi).orderBy("kind", "k")
 
 
 # =====================================================================
