@@ -91,7 +91,13 @@ from books2scrape_etl_spark import query_defs36  # noqa: E402,F401
 # holdovers.
 #
 # Round-10 rotation plan (write-ahead, the r7-verdict protocol): the
-# r9-green window rotates out; first claim on r10 slots is the 16
+# r9-green window rotates out; first claim on r10 slots is (a) the
+# TEN qnames converted rows-only -> oracle-paired in the r9 third
+# continuation, none of which has ever had a hard driver row in its
+# oracle-paired form - pack_ffd, dedup_cc_star, embed_generate,
+# stream_tumbling_rt, stream_dedup_rt, stream_stateful_rt,
+# stream_join_rt, stream_foreachbatch_rt, stream_books_star_rt,
+# books_stream_source_rt - then (b) the 16
 # r6-latest qnames that didn't fit this round's refresher allotment -
 # variant_ops, token_budget, topk_ordered, lm_quality, dq_audit,
 # outlier_zscore, embed_norm, embed_quantize, multimodal_bytes,

@@ -303,24 +303,53 @@ def q_asof_join_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="ts_us", by=["user_id"])
 
 
-@register("stream_books_star_rt")  # rows-only: real readStream + side-effecting sink
+_BOOKS_STAR_RT_SQL = """
+    SELECT * FROM (VALUES
+      (CAST(5 AS BIGINT), CAST('50.1' AS DOUBLE), CAST(3 AS BIGINT),
+       CAST('150.3' AS DOUBLE), CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST('51.77' AS DOUBLE), CAST(22 AS BIGINT),
+       CAST('1138.94' AS DOUBLE), CAST(1 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST('53.74' AS DOUBLE), CAST(20 AS BIGINT),
+       CAST('1074.8' AS DOUBLE), CAST(1 AS BIGINT))
+    ) AS t(rating, price_gbp, n_in_stock, inventory_value, in_stock)
+    """
+
+
+@register("stream_books_star_rt", _BOOKS_STAR_RT_SQL)
 def q_stream_books_star_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 over the reference's ACTUAL pipeline — the books star build
     (clean -> dims -> fact) running per micro-batch under foreachBatch
     with idempotent batch_id-partitioned landing
-    (streaming/pipeline.py), fed from the offline HTML fixtures."""
+    (streaming/pipeline.py), fed from the offline HTML fixtures.
+    Converted rows-only → golden-VALUES oracle, batch-split-
+    INSENSITIVELY: the landing repartition(2) + maxFilesPerTrigger=1
+    chunks the drain into micro-batches whose boundaries (and the
+    batch-local surrogate keys) are planner business, so the pinned
+    output is the fact's NATURAL measures only — each fixture book
+    exactly once with its exact cleaned values. A duplicated batch,
+    a dropped batch, or a broken idempotent overwrite changes the row
+    multiset and breaks the hash (doubles injected as CAST('repr' AS
+    DOUBLE), the round-6 literal rule)."""
     import os
     import tempfile
-    import uuid
 
     from books2scrape_etl_spark.sources.fixtures_html import DETAIL_PAGES
     from books2scrape_etl_spark.sources.scrape import html_source, parse_books
     from books2scrape_etl_spark.streaming.pipeline import streaming_books_star
 
-    landing = os.path.join(tempfile.gettempdir(), f"books_landing_{uuid.uuid4().hex[:8]}")
-    parse_books(html_source(spark, DETAIL_PAGES)).repartition(2).write.parquet(landing)
-    fact = streaming_books_star(spark, landing)
-    return fact.groupBy("batch_id").count()
+    with tempfile.TemporaryDirectory(prefix="books_star_rt_") as tmp:
+        landing = os.path.join(tmp, "landing")
+        parse_books(html_source(spark, DETAIL_PAGES)).repartition(2).write.parquet(
+            landing
+        )
+        fact = streaming_books_star(spark, landing, out_dir=os.path.join(tmp, "sink"))
+        return fact.select(
+            F.col("Rating").cast("long").alias("rating"),
+            F.col("`Price (excl. tax)`").alias("price_gbp"),
+            F.col("No_of_books_in_Stock").cast("long").alias("n_in_stock"),
+            F.col("`Inventory Value`").alias("inventory_value"),
+            F.col("In_Stock_Binary").cast("long").alias("in_stock"),
+        ).localCheckpoint(eager=True)
 
 
 @register("sim_ivf")  # rows-only: ANN recall is approximate by design
@@ -442,13 +471,28 @@ def q_books_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.union(diff)
 
 
-@register("books_stream_source_rt")  # rows-only: streaming HTML source
+_BOOKS_SOURCE_RT_SQL = """
+    SELECT * FROM (VALUES
+      ('Fiction', CAST(1 AS BIGINT)),
+      ('Historical Fiction', CAST(1 AS BIGINT)),
+      ('Poetry', CAST(1 AS BIGINT))
+    ) AS t(Category, n_books)
+    """
+
+
+@register("books_stream_source_rt", _BOOKS_SOURCE_RT_SQL)
 def q_books_stream_source_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S4 streaming form — the books source as an INCREMENTAL
     Structured Streaming source (SimpleDataSourceStreamReader): one
     listing page per micro-batch, page offsets checkpointed, replay via
     readBetweenOffsets. The incremental analogue of the reference's
-    rescrape-everything cron."""
+    rescrape-everything cron. Converted rows-only → golden-VALUES
+    oracle: the fixture corpus is one book per category across the two
+    listing pages, so a re-read page (offset replay bug) or a skipped
+    page flips a per-category count and breaks the hash. The suite
+    'source' section additionally pins the full-schema symmetric
+    difference against the batch read; this single pins the drained
+    per-category counts."""
     import os
     import tempfile
     import uuid
@@ -457,22 +501,27 @@ def q_books_stream_source_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_books_source(spark)
     name = f"books_src_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("books")
-        .option("pages", "2")
-        .option("fixtures", "true")
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        (
+            spark.readStream.format("books")
+            .option("pages", "2")
+            .option("fixtures", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "offsets"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).groupBy("Category").count()
+        out = (
+            spark.table(name)
+            .groupBy("Category")
+            .agg(F.count(F.lit(1)).alias("n_books"))
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+    return out
 
 
 def _has_protobuf() -> bool:

@@ -798,9 +798,10 @@ def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       against the BATCH read of the same source — k2 is the symmetric
       difference row count (must be 0: offset replay may neither drop
       nor duplicate a book), and count / rating sum / stock sum / the
-      sorted UPC list are golden-pinned to the fixture constants. This
-      is the value signal for books_stream_source_rt, which can only
-      ever be rows-only as a single.
+      sorted UPC list are golden-pinned to the fixture constants.
+      (Since r9c3 the books_stream_source_rt single carries its own
+      golden per-category oracle; this section remains the
+      full-schema symmetric-difference check.)
     """
     from books2scrape_etl_spark.streaming.windows import (
         stateful_running_max,
@@ -1266,7 +1267,9 @@ def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from books2scrape_etl_spark.operators.inference import embed_generate
 
     docs = read_table(spark, "documents", sf_dir)
-    emb = embed_generate(docs)
+    # persist: four check branches consume emb; without it each branch
+    # re-runs the Python forward pass over the whole corpus
+    emb = embed_generate(docs).persist()
     placed = emb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_placed"))
     bad_ids = (
         docs.select("doc_id")
