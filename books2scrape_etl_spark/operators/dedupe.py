@@ -521,13 +521,22 @@ def verified_similar_pairs(
     rows: int | None = None,
     shingle_n: int = 3,
     num_hashes: int = 16,
+    materialize: bool = False,
 ) -> DataFrame:
     """Verified-similar edge list (id_a < id_b): the LSH band equi-join
     proposes candidates, exact shingle Jaccard >= ``threshold`` verifies
     them. This is the shared front half of the component-exact dedup
     paths — exposed so callers can run several CC algorithms (or other
     graph consumers) over ONE candidate-generation pass instead of
-    paying the minhash stage per consumer."""
+    paying the minhash stage per consumer.
+
+    ``materialize=True`` eagerly pins the (tiny) verified edge list via
+    localCheckpoint and UNPERSISTS the shingle/band intermediates it
+    was built from. Long-lived sessions that run many operators
+    back-to-back (the full-registry sweep: 297 in one local-mode JVM)
+    otherwise accumulate those storage blocks in the same heap that
+    builds broadcast hash tables — measured r9c3 as a
+    broadcast-build OOM 222 qnames into the sf0.1 sweep."""
     if bands is None or rows is None:
         bands, rows = solve_bands(threshold, num_hashes)
     sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
@@ -545,12 +554,18 @@ def verified_similar_pairs(
     )
     sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
+    pairs = (
         cand.join(sha, "id_a")
         .join(shb, "id_b")
         .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
         .select("id_a", "id_b")
     )
+    if materialize:
+        out = pairs.localCheckpoint(eager=True)
+        sh.unpersist()
+        b.unpersist()
+        return out
+    return pairs
 
 
 def minhash_dedup_cc(
@@ -575,8 +590,14 @@ def minhash_dedup_cc(
     join+agg per round) or ``"star"`` (large-star/small-star, O(log)
     rounds — for long-chain similarity graphs).
     """
+    # materialize=True: the CC stage consumes the edge list eagerly
+    # anyway (iteration rounds run at call time) and the returned plan
+    # references only the checkpointed component labels, so the
+    # shingle/band intermediates can be dropped here instead of leaking
+    # into the caller's session.
     verified_pairs = verified_similar_pairs(
-        docs, text_col, threshold, bands, rows, shingle_n, num_hashes
+        docs, text_col, threshold, bands, rows, shingle_n, num_hashes,
+        materialize=True,
     )
     cc = connected_components_star if algorithm == "star" else connected_components
     comp = cc(verified_pairs)

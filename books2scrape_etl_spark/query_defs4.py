@@ -508,7 +508,10 @@ def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from books2scrape_etl_spark.operators import dedupe
 
     docs = read_table(spark, "documents", sf_dir)
-    pairs = dedupe.verified_similar_pairs(docs, threshold=0.6).persist()
+    # materialize=True pins the edge list once (localCheckpoint) and
+    # unpersists the shingle/band intermediates — both CC algorithms
+    # then read the same materialized blocks
+    pairs = dedupe.verified_similar_pairs(docs, threshold=0.6, materialize=True)
     comp_star = dedupe.connected_components_star(pairs)
     comp_prop = dedupe.connected_components(pairs)
     lab = comp_star.select(

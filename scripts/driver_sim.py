@@ -77,6 +77,17 @@ def main():
         names = names[:LIMIT]
     n_pass = n_fail = n_rowsonly = 0
     for i, name in enumerate(names):
+        # Hermetic per-qname run: several operators persist
+        # intermediates (minhash shingle/band frames, check-branch
+        # reuse) that a single qname run sizes for; across 297 qnames
+        # in ONE local-mode JVM the leaked storage blocks accumulate
+        # in the same heap that builds broadcast tables, and the sweep
+        # eventually dies with "Not enough memory to build and
+        # broadcast" on whatever qname runs late (measured r9c3:
+        # graph_triangles at sf0.1, position 222 — green solo in 14 s).
+        # The driver's own CORRECTNESS harness runs ~50 qnames and
+        # never gets there; the full-registry sweep does.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF).toPandas()
