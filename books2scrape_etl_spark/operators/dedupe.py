@@ -29,7 +29,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.util import to_col
@@ -325,6 +325,40 @@ def ngram_jaccard_pairs(
     )
 
 
+class _sized_shuffle_partitions:
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the data
+    while an EAGER iteration loop runs (the streaming module's
+    _few_state_partitions pattern, justified the same way): the CC
+    loops below execute every round inside the guard and return only
+    localCheckpoint-materialized frames, so nothing lazy escapes with
+    the temporary value.
+
+    Why: a vanilla session defaults to 200 shuffle partitions, and the
+    iterative localCheckpoint pattern defeats AQE's post-shuffle
+    coalescing (each round is its own short job over freshly
+    checkpointed blocks). A 3.5k-node similarity graph then pays
+    200 tasks x 2-3 stages x O(rounds) of pure scheduling overhead.
+    Sizing to ~100k edges/partition (floor 8, ceiling = the session's
+    own setting so cluster-sized configurations are never reduced...
+    raised) keeps small graphs fast and 1B-edge graphs on the
+    caller's configured width."""
+
+    def __init__(self, spark: SparkSession, n_edges: int) -> None:
+        self.spark = spark
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        self.n = max(8, min(cur, n_edges // 100_000 + 1))
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected (id_a, id_b) edge list by
     iterative min-label propagation: every node repeatedly adopts the
@@ -352,6 +386,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = edges.distinct().persist()
+    n_edges = edges.count()
 
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -361,34 +396,41 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     )
     labels.count()
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+    converged = False
+    with _sized_shuffle_partitions(edges.sparkSession, n_edges):
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+            # the convergence flag is computed INSIDE the label update
+            # and checkpointed with it: least(old, nbr) < old iff this
+            # node changed this round. The flag read is then a scan of
+            # the checkpointed blocks — the old new-vs-old labels join
+            # cost one extra shuffle per round for the same bit.
+            upd = F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            )
+            new_gen = (
+                labels.join(
+                    neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+                )
+                .select(
+                    "doc_id",
+                    upd.alias("component"),
+                    (upd < F.col("component")).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_gen.where("_changed").limit(1).count()
+            labels.unpersist()
+            labels = new_gen.select("doc_id", "component")
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
         import warnings
 
         warnings.warn(
@@ -482,14 +524,20 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     fp = fingerprint(edges)
 
     converged = False
-    for _ in range(max_iter):
-        new_edges = canon(small_star(large_star(edges))).localCheckpoint(eager=True)
-        new_fp = fingerprint(new_edges)
-        edges = new_edges
-        if new_fp == fp:
-            converged = True
-            break
-        fp = new_fp
+    # size the round shuffles to the graph, not the session default
+    # (same rationale as connected_components; everything inside is
+    # eager and checkpoint-pinned before the guard exits)
+    with _sized_shuffle_partitions(pairs.sparkSession, fp[0]):
+        for _ in range(max_iter):
+            new_edges = canon(
+                small_star(large_star(edges))
+            ).localCheckpoint(eager=True)
+            new_fp = fingerprint(new_edges)
+            edges = new_edges
+            if new_fp == fp:
+                converged = True
+                break
+            fp = new_fp
     if not converged:
         import warnings
 
@@ -502,13 +550,16 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
 
     # At the fixpoint the edge set is a star forest oriented (child, root);
     # isolated-after-contraction roots label themselves.
-    labels = (
-        nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
-        .select("doc_id", F.coalesce(F.col("v"), F.col("doc_id")).alias("component"))
-        .groupBy("doc_id")
-        .agg(F.min("component").alias("component"))
-        .localCheckpoint(eager=True)  # materialize before dropping inputs
-    )
+    with _sized_shuffle_partitions(pairs.sparkSession, fp[0]):
+        labels = (
+            nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
+            .select(
+                "doc_id", F.coalesce(F.col("v"), F.col("doc_id")).alias("component")
+            )
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)  # materialize before dropping inputs
+        )
     nodes.unpersist()
     return labels
 
