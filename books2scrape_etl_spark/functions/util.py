@@ -2,8 +2,42 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+
+class sized_shuffle_partitions:
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the data
+    while an EAGER iteration loop runs (the streaming module's
+    _few_state_partitions pattern, justified the same way): callers
+    run every round inside the guard and return only
+    localCheckpoint-materialized frames, so nothing lazy escapes with
+    the temporary value.
+
+    Why: a vanilla session defaults to 200 shuffle partitions, and the
+    iterative localCheckpoint pattern defeats AQE's post-shuffle
+    coalescing (each round is its own short job over freshly
+    checkpointed blocks). A few-thousand-row graph then pays 200 tasks
+    x 2-3 stages x O(rounds) of pure scheduling overhead — measured
+    1.7x on the CC differential qname. Sizing to ~100k rows/partition
+    (floor 8, ceiling the session's own setting, so cluster-sized
+    configurations are never widened) keeps small inputs fast and
+    1B-edge graphs on the caller's configured width."""
+
+    def __init__(self, spark: SparkSession, n_rows: int) -> None:
+        self.spark = spark
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        self.n = max(8, min(cur, n_rows // 100_000 + 1))
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
 def to_col(col: Column | str) -> Column:

@@ -29,9 +29,12 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from books2scrape_etl_spark.functions.util import (
+    sized_shuffle_partitions as _sized_shuffle_partitions,
+)
 from books2scrape_etl_spark.functions.util import to_col
 
 from books2scrape_etl_spark.operators.text import normalize_for_fingerprint
@@ -323,40 +326,6 @@ def ngram_jaccard_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
     )
-
-
-class _sized_shuffle_partitions:
-    """Temporarily size ``spark.sql.shuffle.partitions`` to the data
-    while an EAGER iteration loop runs (the streaming module's
-    _few_state_partitions pattern, justified the same way): the CC
-    loops below execute every round inside the guard and return only
-    localCheckpoint-materialized frames, so nothing lazy escapes with
-    the temporary value.
-
-    Why: a vanilla session defaults to 200 shuffle partitions, and the
-    iterative localCheckpoint pattern defeats AQE's post-shuffle
-    coalescing (each round is its own short job over freshly
-    checkpointed blocks). A 3.5k-node similarity graph then pays
-    200 tasks x 2-3 stages x O(rounds) of pure scheduling overhead.
-    Sizing to ~100k edges/partition (floor 8, ceiling = the session's
-    own setting so cluster-sized configurations are never reduced...
-    raised) keeps small graphs fast and 1B-edge graphs on the
-    caller's configured width."""
-
-    def __init__(self, spark: SparkSession, n_edges: int) -> None:
-        self.spark = spark
-        cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        self.n = max(8, min(cur, n_edges // 100_000 + 1))
-
-    def __enter__(self) -> None:
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-
-    def __exit__(self, *exc) -> None:
-        if self.prev is None:
-            self.spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:

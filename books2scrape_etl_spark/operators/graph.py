@@ -48,6 +48,8 @@ def pagerank(
     teleport ``1-damping`` and classic dangling-mass redistribution.
     Node set = every id appearing on either edge side; parallel edges
     count as weight (a multi-edge contributes once per occurrence)."""
+    from books2scrape_etl_spark.functions.util import sized_shuffle_partitions
+
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -60,33 +62,38 @@ def pagerank(
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=True)
+    n_edges = edges.count()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=False)
-    for i in range(iterations):
-        contribs = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
-            .join(ranks, "node")
-            .join(out_deg, "node")
-            .select("to", (F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy(F.col("to").alias("node"))
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        dangling = (
-            ranks.join(out_deg, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("pr"),
+    # graph-sized round shuffles (see functions.util): every round is
+    # eager (the dangling collect + checkpoint), and the final ranks
+    # are checkpoint-pinned before the guard exits
+    with sized_shuffle_partitions(edges.sparkSession, n_edges):
+        for i in range(iterations):
+            contribs = (
+                edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+                .join(ranks, "node")
+                .join(out_deg, "node")
+                .select("to", (F.col("pr") / F.col("deg")).alias("c"))
+                .groupBy(F.col("to").alias("node"))
+                .agg(F.sum("c").alias("in_sum"))
             )
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            dangling = (
+                ranks.join(out_deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("pr"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

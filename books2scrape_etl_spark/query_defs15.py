@@ -122,24 +122,32 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = seeds.localCheckpoint(eager=True)
     frontier = dist
-    for h in range(1, _BFS_HOPS + 1):
-        # shuffle-hash on both joins: the frontier/visited sets are the
-        # build sides (node-bounded); never let Catalyst broadcast the
-        # EDGE table (checkpointed-leaf stats under-estimate it, and a
-        # driver-built edge broadcast is exactly what dies at scale)
-        nxt = (
-            frontier.hint("shuffle_hash")
-            .join(edges, frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist.select("node").hint("shuffle_hash"), "node", "left_anti")
-            .select("node", F.lit(h).cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    # hop shuffles sized to the graph (functions.util): each hop is
+    # eager (checkpoint + isEmpty), distances are exact integers, and
+    # only checkpointed frames survive the guard — the final agg below
+    # runs at the caller's configured width
+    from books2scrape_etl_spark.functions.util import sized_shuffle_partitions
+
+    with sized_shuffle_partitions(spark, edges.count()):
+        for h in range(1, _BFS_HOPS + 1):
+            # shuffle-hash on both joins: the frontier/visited sets are
+            # the build sides (node-bounded); never let Catalyst
+            # broadcast the EDGE table (checkpointed-leaf stats
+            # under-estimate it, and a driver-built edge broadcast is
+            # exactly what dies at scale)
+            nxt = (
+                frontier.hint("shuffle_hash")
+                .join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("node").hint("shuffle_hash"), "node", "left_anti")
+                .select("node", F.lit(h).cast("bigint").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     return (
         dist.groupBy("dist")
         .agg(
