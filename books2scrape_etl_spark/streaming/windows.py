@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,6 +106,60 @@ def session_windows_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     )
 
 
+_EVENTS_STAGE_LOCK = threading.Lock()
+
+
+def _stage_events_dir(src: str, copies: int) -> str:
+    """Validate-or-(re)build the symlinked landing dir, safely under
+    CONCURRENT drains (stream_windows_suite runs its seven streams in
+    parallel) and concurrent same-SF processes: the old
+    rmtree-then-recreate on every call deleted a sibling's staging dir
+    out from under its in-flight stream and raced two creators into
+    FileExistsError (measured the moment the suite went concurrent).
+    Now: if the dir already has exactly the expected symlinks, reuse
+    it untouched (the steady-state path); otherwise build aside and
+    atomically rename into place. The in-process lock serializes the
+    suite's threads; cross-process, the loser of the rename race falls
+    back to validating what the winner installed."""
+    import hashlib
+    import shutil
+
+    digest = hashlib.md5(f"{src}|{copies}".encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
+    want = sorted(f"events_{i}.parquet" for i in range(copies))
+
+    def valid() -> bool:
+        try:
+            entries = sorted(os.listdir(stream_dir))
+        except OSError:
+            return False
+        if entries != want:
+            return False
+        try:
+            return all(
+                os.readlink(os.path.join(stream_dir, e)) == src for e in entries
+            )
+        except OSError:
+            return False
+
+    with _EVENTS_STAGE_LOCK:
+        if valid():
+            return stream_dir
+        build = f"{stream_dir}.build_{os.getpid()}_{uuid.uuid4().hex[:6]}"
+        os.makedirs(build)
+        for i in range(copies):
+            os.symlink(src, os.path.join(build, f"events_{i}.parquet"))
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        try:
+            os.rename(build, stream_dir)
+        except OSError:
+            # another process installed it between our rmtree and rename
+            shutil.rmtree(build, ignore_errors=True)
+            if not valid():
+                raise
+        return stream_dir
+
+
 def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     # Streaming twin of io.read_table's events branch: ``ts`` has shipped
     # as TIMESTAMP(NANOS) (readable only as raw BIGINT via the legacy
@@ -135,18 +190,8 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     # arrives ``copies`` times; exactly-once semantics must collapse it).
     # Dir name = md5 of (src, copies): stable across processes (Python's
     # salted hash() minted a fresh dir per driver run, leaking stale
-    # /tmp dirs each round — ADVICE r4); cleared on entry so a layout
-    # change never coexists with old symlinks.
-    import hashlib
-    import shutil
-
-    digest = hashlib.md5(f"{src}|{copies}".encode()).hexdigest()[:16]
-    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    os.makedirs(stream_dir, exist_ok=True)
-    for i in range(copies):
-        os.symlink(src, os.path.join(stream_dir, f"events_{i}.parquet"))
-    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    # /tmp dirs each round — ADVICE r4).
+    raw = spark.readStream.schema(schema).parquet(_stage_events_dir(src, copies))
     if ts_read == "bigint":
         # raw epoch longs: infer the unit (ns/us/ms/s) from sampled
         # values of the batch probe — same magnitude rule as io.py; a
