@@ -2,8 +2,17 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+# spark.sql.shuffle.partitions is SESSION-global: two guards
+# overlapping from different threads would run sibling plans at the
+# narrowed width and restore each other's stale values. Serialize all
+# guarded iteration loops (RLock so a same-thread nested guard still
+# composes LIFO-correctly instead of deadlocking).
+_SHUFFLE_GUARD_LOCK = threading.RLock()
 
 
 class sized_shuffle_partitions:
@@ -30,14 +39,18 @@ class sized_shuffle_partitions:
         self.n = max(8, min(cur, n_rows // 100_000 + 1))
 
     def __enter__(self) -> None:
+        _SHUFFLE_GUARD_LOCK.acquire()
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc) -> None:
-        if self.prev is None:
-            self.spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        try:
+            if self.prev is None:
+                self.spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        finally:
+            _SHUFFLE_GUARD_LOCK.release()
 
 
 def to_col(col: Column | str) -> Column:

@@ -541,7 +541,7 @@ def verified_similar_pairs(
     rows: int | None = None,
     shingle_n: int = 3,
     num_hashes: int = 16,
-    materialize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Verified-similar edge list (id_a < id_b): the LSH band equi-join
     proposes candidates, exact shingle Jaccard >= ``threshold`` verifies
@@ -550,13 +550,17 @@ def verified_similar_pairs(
     graph consumers) over ONE candidate-generation pass instead of
     paying the minhash stage per consumer.
 
-    ``materialize=True`` eagerly pins the (tiny) verified edge list via
-    localCheckpoint and UNPERSISTS the shingle/band intermediates it
-    was built from. Long-lived sessions that run many operators
-    back-to-back (the full-registry sweep: 297 in one local-mode JVM)
-    otherwise accumulate those storage blocks in the same heap that
-    builds broadcast hash tables — measured r9c3 as a
-    broadcast-build OOM 222 qnames into the sf0.1 sweep."""
+    ``materialize=True`` (the default) eagerly pins the (tiny)
+    verified edge list via localCheckpoint and UNPERSISTS the
+    shingle/band intermediates it was built from. Long-lived sessions
+    that run many operators back-to-back (the full-registry sweep: 297
+    in one local-mode JVM) otherwise accumulate those storage blocks
+    in the same heap that builds broadcast hash tables — measured
+    r9c3 as a broadcast-build OOM 222 qnames into the sf0.1 sweep.
+    ``materialize=False`` returns the lazy plan WITH the shingle/band
+    caches still pinned and no handle to release them — only for
+    callers that consume the plan immediately in a short-lived
+    session and accept the leak."""
     if bands is None or rows is None:
         bands, rows = solve_bands(threshold, num_hashes)
     sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()

@@ -312,6 +312,7 @@ _BOOKS_STAR_RT_SQL = """
       (CAST(1 AS BIGINT), CAST('53.74' AS DOUBLE), CAST(20 AS BIGINT),
        CAST('1074.8' AS DOUBLE), CAST(1 AS BIGINT))
     ) AS t(rating, price_gbp, n_in_stock, inventory_value, in_stock)
+    ORDER BY rating
     """
 
 
@@ -349,7 +350,7 @@ def q_stream_books_star_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("No_of_books_in_Stock").cast("long").alias("n_in_stock"),
             F.col("`Inventory Value`").alias("inventory_value"),
             F.col("In_Stock_Binary").cast("long").alias("in_stock"),
-        ).localCheckpoint(eager=True)
+        ).orderBy("rating").localCheckpoint(eager=True)
 
 
 @register("sim_ivf")  # rows-only: ANN recall is approximate by design
@@ -477,6 +478,7 @@ _BOOKS_SOURCE_RT_SQL = """
       ('Historical Fiction', CAST(1 AS BIGINT)),
       ('Poetry', CAST(1 AS BIGINT))
     ) AS t(Category, n_books)
+    ORDER BY Category
     """
 
 
@@ -518,6 +520,7 @@ def q_books_stream_source_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(name)
             .groupBy("Category")
             .agg(F.count(F.lit(1)).alias("n_books"))
+            .orderBy("Category")
             .localCheckpoint(eager=True)
         )
         spark.catalog.dropTempView(name)

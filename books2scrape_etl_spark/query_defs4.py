@@ -1330,13 +1330,22 @@ def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n(df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n"))
 
-    return (
+    # Eagerly pin the tiny 4-row check union, then drop the cached
+    # forward-pass blocks BEFORE returning: the returned plan must not
+    # depend on `emb`, or every call leaks storage in long-lived
+    # sessions (the r9c3 broadcast-build OOM class; the real driver
+    # harness never clears cache). Same materialize-then-unpersist
+    # pattern as dedupe.verified_similar_pairs.
+    out = (
         _check_row("ids_bijective_with_documents", n(bad_ids))
         .union(_check_row("unit_or_zero_norms", n(bad_norm)))
         .union(_check_row("dim_is_16", n(bad_dim)))
         .union(_check_row("repartition_invariant", n(bad_repart)))
         .orderBy("k")
+        .localCheckpoint(eager=True)
     )
+    emb.unpersist()
+    return out
 
 
 @register(
