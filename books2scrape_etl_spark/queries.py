@@ -74,81 +74,65 @@ from books2scrape_etl_spark import query_defs37  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-9 rotation (executes the write-ahead plan recorded here last
-# round): the r8-green window rotates OUT; the slots go to the
-# never-driver-checked backlog — waves 23-32 (31 qnames; 30 ride the
-# four new packed suites in query_defs35.py, change_point keeps a
-# direct slot as the group's ~15 s heavy) and wave 34 (landed after
-# r8's definitive sweeps). Also in: the three rows-only->invariant
-# conversions made this round (bin_quantile_scale agreement law,
-# dedup_simhash signature-distance laws, embed_near_dup planted
-# scaled-copy laws — each now oracle-paired, VERDICT r8 item 5),
-# rfm_segments (code changed: quintiles now route through
-# operators.scale.ntile_scale, VERDICT r8 item 7), the five defs33
-# suites (code changed: suite-section SQL now qualifies slot sources,
-# ADVICE r8), and 18 of the 46 r6-latest refreshers (suites first —
-# each packs many singles — then dedup/similarity/sketch/scan/join
-# singles), plus the flagship/books_e2e/stream_windows_suite
-# holdovers.
+# Round-10 rotation (executes the write-ahead plan recorded here last
+# round, plus the two qnames VERDICT r9 flagged as omitted —
+# udtf_sentences and books_datasource — and the round's one new wave,
+# join_dpp): the r9-green window rotates OUT. Slots:
+#   (a) the TEN r9c rows-only -> oracle-paired conversions, none of
+#       which ever had a hard driver row in oracle-paired form;
+#   (b) the 16 r6-latest refreshers that didn't fit r9's allotment;
+#   (c) sql_api (ceded its r9 slot to cc_exact) + the three r9
+#       continuation qnames never driver-rowed (line_dedup,
+#       parse_struct_expand, explode_links) + udtf_sentences +
+#       books_datasource (VERDICT r9 item 1's two additions);
+#   (d) join_dpp — the new §4.2 dynamic-partition-pruning qname
+#       (VERDICT r9 item 2), earning its first row;
+#   (e) the remaining 17 slots to the three-rounds-stale r7 cohort,
+#       suites first (tpch_suite/2/3 pack 16 TPC-H shapes; sources/
+#       clean/columns_lineitem pack the scrape+clean singles), then
+#       the heavy join/groupBy singles.
+# After this window runs green, every oracle-paired qname in the
+# registry has a hard driver row, r7 or newer (VERDICT r9 item 1).
 #
-# Round-10 rotation plan (write-ahead, the r7-verdict protocol): the
-# r9-green window rotates out; first claim on r10 slots is (a) the
-# TEN qnames converted rows-only -> oracle-paired in the r9 third
-# continuation, none of which has ever had a hard driver row in its
-# oracle-paired form - pack_ffd, dedup_cc_star, embed_generate,
-# stream_tumbling_rt, stream_dedup_rt, stream_stateful_rt,
-# stream_join_rt, stream_foreachbatch_rt, stream_books_star_rt,
-# books_stream_source_rt - then (b) the 16
-# r6-latest qnames that didn't fit this round's refresher allotment -
-# variant_ops, token_budget, topk_ordered, lm_quality, dq_audit,
-# outlier_zscore, embed_norm, embed_quantize, multimodal_bytes,
-# multimodal_resize, recursive_cte, scale_invariants, funnel_steps,
-# avi_frames, compact_files, window_range_time, plus sql_api (ceded
-# its r9 slot to the new cc_exact) and the round-9-continuation
-# additions line_dedup / parse_struct_expand / explode_links (new
-# oracle-paired, never driver-rowed) - after which every
-# oracle-paired qname's hard row is r7 or newer; the remaining ~30
-# slots go to the then-three-rounds-stale r7 cohort (tpch suites and
-# singles, join_fact/join_sortmerge/join_salted/join_asof, sources/
-# clean/columns suites, grouped_map/udaf_grouped, graph_degree,
-# als_topk, stratified/weighted sampling, snapshot_cdc,
-# partition_pruning, window_hopping, zorder_cluster) prioritized the
-# same way: suites first, then heavy singles.
+# Round-11 rotation plan (write-ahead, the r7-verdict protocol): the
+# r10-green window rotates out; first claim on r11 slots is the r8
+# cohort (42 qnames, then three rounds stale) — suites and packed
+# groups first (sim_ann_probe, ann_recall, dedup_invariants,
+# sketch_kmv, scd2_upsert, mv_incremental, join_bucketed,
+# stream_join, stream_static_join, redact_pii, chunk_docs,
+# decontaminate, corpus_build, and the wave-9-22 singles riding
+# their suites where one exists), then the r7 leftovers that did not
+# fit r10 (tpch_q3/q5/q10/q12/q14/q18 singles, multimodal_decode,
+# asof_join_general, surrogate_key_scale, pagerank_invariants,
+# als_invariants, ewma_decay, bpe_pairs, tfidf_bm25, tokenize_ids,
+# explode_split, graph-family singles), prioritized the same way:
+# never/oldest hard row first, suites before singles, heavies get
+# direct slots. Holdover candidates: flagship + books_e2e return
+# after their r10 rest (both r9-green, both bench-pinned every
+# round).
 WINDOW: tuple[str, ...] = (
-    # holdovers: flagship + the end-to-end DAG + the stream suite
-    "flagship", "books_e2e", "stream_windows_suite",
-    # waves 23-32 packed: 30 singles in 4 slots (query_defs35.py)
-    "wave23_24_suite", "wave25_26_suite", "wave27_29_suite",
-    "wave30_32_suite",
-    # waves 23-32/34 direct: the CUSUM heavy + late-landing wave 34
-    "change_point", "scan_schema_drift", "zorder_layout",
-    "packing_efficiency",
-    # rows-only -> invariant-oracle conversions (VERDICT r8 item 5)
-    "bin_quantile_scale", "dedup_simhash", "embed_near_dup",
-    # code changed this round - each earns a fresh hard row
-    # (rfm_segments: ntile_scale routing; defs33 suites: qualified
-    # suite-section SQL)
-    "rfm_segments",
-    "wave12_suite", "wave13_14_suite", "wave15_16_suite",
-    "wave20_21_suite", "wave22_suite",
-    # r6-latest refreshers (three rounds stale): suites first
-    "agg_olap_suite", "text_suite", "sampling_suite", "winnow_suite",
-    "scalar_funcs_suite", "subquery_suite", "pivot_unpivot_suite",
-    "columns_part_suite", "distinct_suite", "semi_anti_suite",
-    "set_ops_suite", "window_suite",
-    # r6-latest refreshers: dedup/similarity/corpus singles
-    "dedup_exact", "sim_cosine", "ngram_jaccard", "corpus_curation",
-    "corpus_mixture", "pack_next_fit",
-    # r6-latest refreshers: sketch/join/scan singles
-    "sketch_cms", "sketch_kmv_setops", "heavy_hitters", "join_bloom",
-    "join_skew_aqe", "fuzzy_join",
-    "scan_jsonl", "scan_merge_schema", "scan_orc",
-    "json_map_ops", "date_funcs",
-    # round-9 continuation: exact-value CC differential (new qname —
-    # upgrades both iterative connected-components operators from
-    # law-checked to value-exact vs a DuckDB recursive-CTE closure).
-    # sql_api ceded its refresher slot; it joins the r10 rotation.
-    "cc_exact",
+    # (a) r9c rows-only -> oracle-paired conversions, first hard rows
+    "stream_tumbling_rt", "stream_dedup_rt", "stream_stateful_rt",
+    "stream_join_rt", "stream_foreachbatch_rt", "stream_books_star_rt",
+    "books_stream_source_rt", "pack_ffd", "dedup_cc_star",
+    "embed_generate",
+    # (b) r6-latest refreshers
+    "variant_ops", "token_budget", "topk_ordered", "lm_quality",
+    "dq_audit", "outlier_zscore", "embed_norm", "embed_quantize",
+    "multimodal_bytes", "multimodal_resize", "recursive_cte",
+    "scale_invariants", "funnel_steps", "avi_frames", "compact_files",
+    "window_range_time",
+    # (c) never-rowed singles + the two VERDICT r9 additions
+    "sql_api", "line_dedup", "parse_struct_expand", "explode_links",
+    "udtf_sentences", "books_datasource",
+    # (d) the round's one new wave: dynamic partition pruning
+    "join_dpp",
+    # (e) r7 cohort refreshers: suites first, then heavy singles
+    "tpch_suite", "tpch_suite2", "tpch_suite3",
+    "sources_suite", "clean_suite", "columns_lineitem_suite",
+    "join_fact", "join_sortmerge", "join_salted", "join_asof",
+    "grouped_map", "udaf_grouped", "graph_degree", "als_topk",
+    "snapshot_cdc", "partition_pruning", "window_hopping",
 )
 
 
