@@ -1318,14 +1318,85 @@ def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
-@register("sim_lsh")  # rows-only: ANN recall is approximate by design
+_SIM_LSH_SQL = """
+    SELECT 'check' AS kind, v.k,
+           CAST(0 AS BIGINT) AS n1, CAST(1 AS BIGINT) AS n2
+    FROM (VALUES ('k_bounded'),
+                 ('nonempty_results'),
+                 ('rank_consistent'),
+                 ('same_bucket'),
+                 ('scores_exact')) AS v(k)
+    ORDER BY k
+    """
+
+
+@register("sim_lsh", _SIM_LSH_SQL)
 def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path — LSH-bucketed ANN top-k (single-probe)."""
+    """L3 scale path — LSH-bucketed ANN top-k (single-probe), converted
+    rows-only → invariant oracle (VERDICT r9 item 7, the ann_recall /
+    embed_near_dup pattern): partial-probe RECALL is approximate by
+    construction (no SQL twin), but everything else about the result
+    is a hard contract, checked in-plan on the production path's own
+    output and hashed against a constant oracle —
+
+    - 'scores_exact': every returned cos_sim equals the exact cosine
+      recomputed from the embeddings table (same expression tree);
+    - 'same_bucket': every returned (query, neighbor) pair shares the
+      single-probe hyperplane bucket — pins the bucketing itself;
+    - 'rank_consistent': rank == row_number by (cos_sim desc, vec_id)
+      within the result;
+    - 'k_bounded': no query returns more than k rows;
+    - 'nonempty_results': the probe found at least one neighbor
+      (non-vacuity — an all-empty bucket join can't silently pass).
+
+    Recall floors for this path live in `ann_recall` (single- vs
+    multi-probe monotonicity) — together they pin the partial-probe
+    family to everything pinnable."""
     emb = read_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return similarity.lsh_topk(emb, queries, k=5)
+    # ≤ 25 rows: eager-pin so the five check branches don't re-run the
+    # bucket join, and nothing cached leaks past the return
+    res = similarity.lsh_topk(emb, queries, k=5).localCheckpoint(eager=True)
+
+    e_q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    e_v = emb.select("vec_id", F.col("embedding").alias("vv"))
+    joined = res.join(e_q, "q_id").join(e_v, "vec_id")
+    bad_score = joined.where(
+        F.round(similarity.cosine(F.col("qv"), F.col("vv")), 6) != F.col("cos_sim")
+    )
+    bad_bucket = joined.where(
+        similarity.lsh_bucket(F.col("qv"), 64, 6)
+        != similarity.lsh_bucket(F.col("vv"), 64, 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    bad_rank = res.withColumn("rr", F.row_number().over(w)).where(
+        F.col("rr") != F.col("rank")
+    )
+    bad_k = res.groupBy("q_id").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 5)
+
+    def n(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    empty = res.agg((F.count(F.lit(1)) == 0).cast("bigint").alias("n"))
+
+    def row(name: str, n_df: DataFrame) -> DataFrame:
+        return n_df.select(
+            F.lit("check").alias("kind"),
+            F.lit(name).alias("k"),
+            F.col("n").cast("bigint").alias("n1"),
+            (F.col("n") == 0).cast("bigint").alias("n2"),
+        )
+
+    return (
+        row("k_bounded", n(bad_k))
+        .union(row("nonempty_results", empty))
+        .union(row("rank_consistent", n(bad_rank)))
+        .union(row("same_bucket", n(bad_bucket)))
+        .union(row("scores_exact", n(bad_score)))
+        .orderBy("k")
+    )
 
 
 _EMB_ND_SQL = """
