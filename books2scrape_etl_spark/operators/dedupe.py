@@ -290,26 +290,36 @@ def simhash_bands(
     MinHash '' band signature)."""
     hashed = F.transform(word_shingles(text_col, shingle_n), lambda g: F.xxhash64(g))
     fn = F.pandas_udf(_simhash_votes_batch, "long")
-    # persist: each band projection below reads the signature; without it
-    # the pandas-UDF signature kernel runs once per band
+    # The pandas-UDF signature kernel is an ArrowEvalPython node: it
+    # materializes `simhash` once per row, and the explode below fans
+    # that single column out to n_bands rows in the same stage — one
+    # UDF pass, no per-band recompute, and (unlike the previous
+    # persist-per-call form) NO storage blocks held past the returned
+    # plan's lifetime. One narrow projection; nothing shuffles here.
     df = (
         docs.select("doc_id", hashed.alias("hs"))
         .where(F.size("hs") > 0)
         .select("doc_id", fn(F.col("hs")).alias("simhash"))
-        .persist()
     )
     n_bands = 60 // band_bits
-    out = None
-    for band in range(n_bands):
-        part = df.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.shiftright(F.col("simhash"), band * band_bits)
-            .bitwiseAND(F.lit((1 << band_bits) - 1))
-            .alias("band_val"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    mask = (1 << band_bits) - 1
+    # literal per-band shift amounts (shiftright takes a literal int,
+    # not a Column — the query_defs shiftleft lesson), unrolled into
+    # one array-of-structs expression
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), band * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return df.select(
+        "doc_id", F.explode(pairs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
 
 
 def ngram_jaccard_pairs(

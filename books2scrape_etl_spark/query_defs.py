@@ -1235,7 +1235,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ok"),
     )
-    return decomp.union(bucket).union(dist0).orderBy("check_name")
+    # eager-pin the 3 check rows, then drop the cached signature table
+    # before returning (the embed_generate materialize-then-unpersist
+    # rule — the returned plan must not need `sig`)
+    out = (
+        decomp.union(bucket).union(dist0).orderBy("check_name")
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    return out
 
 
 @register(

@@ -238,7 +238,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ntile_scale(base, ["rec_days", "o_custkey"], 5, out_col="r_q")
     r = ntile_scale(r, ["freq", "o_custkey"], 5, out_col="f_q")
     r = ntile_scale(r, ["mon_cents", "o_custkey"], 5, out_col="m_q")
-    return (
+    # eager-pin the <=1000 segment rows, then drop the cached collapsed
+    # frame before returning (the embed_generate materialize-then-
+    # unpersist rule — the returned plan must not need `base`)
+    out = (
         r.groupBy(
             (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("segment")
         )
@@ -251,7 +254,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_cents").cast("double") / F.col("n_cust").cast("double"),
         )
         .orderBy("segment")
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------

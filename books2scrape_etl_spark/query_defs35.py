@@ -346,9 +346,15 @@ def q_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("doc_id"),
         F.count(F.lit(1)).alias("component"),
     )
+    # eager-pin the small label/edge-count union, then drop the cached
+    # candidate edges BEFORE returning (the embed_generate rule: a
+    # returned plan must not depend on a persisted input, or every call
+    # leaks storage blocks in long-lived sessions)
     out = (
         star.select(F.lit("star").alias("algo"), "doc_id", "component")
         .union(prop.select(F.lit("prop").alias("algo"), "doc_id", "component"))
         .union(n_edges)
+        .localCheckpoint(eager=True)
     )
+    cand.unpersist()
     return out
