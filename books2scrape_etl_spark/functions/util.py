@@ -40,8 +40,15 @@ class sized_shuffle_partitions:
 
     def __enter__(self) -> None:
         _SHUFFLE_GUARD_LOCK.acquire()
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        # If conf access raises after the acquire (stopped session ->
+        # py4j error), Python never runs __exit__ — release before
+        # re-raising or every future guarded section deadlocks.
+        try:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        except BaseException:
+            _SHUFFLE_GUARD_LOCK.release()
+            raise
 
     def __exit__(self, *exc) -> None:
         try:

@@ -1155,7 +1155,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = both.select(
         "doc_id", dedupe.simhash64(F.col("text")).alias("sig")
     ).persist()
-    bands = dedupe.simhash_bands(both)
+    # bands feeds three plan branches (recon + both sides of the bucket
+    # check); without a cache each branch re-runs the Arrow signature
+    # pass (ADVICE r10). simhash_bands itself stays cache-free — the
+    # consumer owns the persist/unpersist pairing.
+    bands = dedupe.simhash_bands(both).persist()
 
     # (a) band values reassemble the signature, doc by doc
     # shiftleft with a COLUMN shift amount needs the SQL form (the
@@ -1243,6 +1247,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sig.unpersist()
+    bands.unpersist()
     return out
 
 

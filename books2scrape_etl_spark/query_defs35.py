@@ -327,7 +327,12 @@ def q_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative operator flips value rows, not just law booleans. The
     'edges' row pins candidate-graph cardinality (non-vacuity: an
     empty graph can't silently pass). Input capped to doc_id % 2 == 0
-    on both sides — see _CC_FPS_CTE."""
+    on both sides — see _CC_FPS_CTE. The cap does NOT hollow the
+    differential: the corpus's template near-dup pairs span both
+    parity classes, so the kept half is still a dense graph (250
+    nodes / ~15.6k edges at sf0.001 — pinned by
+    tests/test_wave35.py::test_cc_exact_cap_keeps_dense_near_dup_graph),
+    not sparse organic pairs."""
     from books2scrape_etl_spark.operators.dedupe import (
         connected_components,
         connected_components_star,

@@ -434,14 +434,20 @@ def q_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    bands = dedupe.simhash_bands(both)
+    # bands feeds both sides of the planted-copy symmetric diff; cache
+    # it for the one eager pass then drop it (ADVICE r10 — the consumer
+    # owns the persist/unpersist pairing, simhash_bands stays cache-free)
+    bands = dedupe.simhash_bands(both).persist()
     copy_bands = bands.where(F.col("doc_id") >= _DEDUP_OFFSET).select(
         (F.col("doc_id") - _DEDUP_OFFSET).alias("doc_id"), "band", "band_val"
     )
     orig_bands = bands.where(
         (F.col("doc_id") < _DEDUP_OFFSET) & (F.col("doc_id") % 10 == 0)
     ).select("doc_id", "band", "band_val")
-    sh = _zero_row("simhash_planted", _sym_diff_count(copy_bands, orig_bands))
+    sh = _zero_row(
+        "simhash_planted", _sym_diff_count(copy_bands, orig_bands)
+    ).localCheckpoint(eager=True)
+    bands.unpersist()
 
     chain = spark.range(0, 3).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")

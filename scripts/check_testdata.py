@@ -1,5 +1,8 @@
-"""Testdata preflight: diff the physical parquet schemas against the
-committed snapshot (TESTDATA_SCHEMA.json).
+"""Testdata preflight: diff the physical parquet schemas AND content
+fingerprints (size:md5 per table) against the committed snapshot
+(TESTDATA_SCHEMA.json). A `__content__` drift with identical schemas
+means regenerated VALUES — recalibrate the absolute invariant floors
+(ann_recall) and golden-VALUES oracles before trusting a red row.
 
 The driver regenerates /root/testdata between rounds; round 3 died by
 assuming it stable (events.ts silently re-encoded TIMESTAMP(NANOS) ->
@@ -13,6 +16,7 @@ minute signal. Run at session start:
 Exit 0 = identical; exit 1 = drift (printed per table/field).
 """
 
+import hashlib
 import json
 import os
 import sys
@@ -36,10 +40,21 @@ def scan() -> dict:
         for fn in sorted(os.listdir(d)):
             if not fn.endswith(".parquet"):
                 continue
-            schema = pq.read_schema(os.path.join(d, fn))
-            tables[fn[: -len(".parquet")]] = {
-                f.name: str(f.type) for f in schema
-            }
+            path = os.path.join(d, fn)
+            schema = pq.read_schema(path)
+            fields = {f.name: str(f.type) for f in schema}
+            # Content fingerprint (VERDICT r10 item 4): a regenerated
+            # table with an identical schema but a different value
+            # distribution would silently move measured quantities the
+            # absolute invariant floors (ann_recall's 0.4/0.9 probe
+            # recalls, golden-VALUES oracles) were calibrated against.
+            # ~20 MB total across the three SFs — md5 is instant.
+            h = hashlib.md5()
+            with open(path, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            fields["__content__"] = f"{os.path.getsize(path)}:{h.hexdigest()}"
+            tables[fn[: -len(".parquet")]] = fields
         out[sf] = tables
     return out
 
@@ -74,7 +89,7 @@ def main() -> int:
         recorded = json.load(f)
     msgs = diff(recorded, current)
     if not msgs:
-        print("testdata schemas identical to snapshot")
+        print("testdata schemas + content identical to snapshot")
         return 0
     print("TESTDATA DRIFT vs snapshot:")
     for m in msgs:

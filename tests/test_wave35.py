@@ -154,3 +154,34 @@ def test_invariant_conversions_all_ok(spark, sf_dir, qname, expect):
     rows = {r["check_name"]: r["ok"] for r in QUERIES[qname](spark, sf_dir).collect()}
     assert set(rows) == expect, rows
     assert all(v == 1 for v in rows.values()), rows
+
+
+def test_cc_exact_cap_keeps_dense_near_dup_graph(spark, sf_dir):
+    """The cc_exact worst-case-cost cap (doc_id % 2 == 0, VERDICT r9
+    item 3) must never silently reduce the exact-CC differential to a
+    sparse organic graph: the corpus's template near-dup pairs are
+    spread across both parity classes, so the kept half still yields a
+    dense candidate graph. Pins (floors ~10x under the measured
+    sf0.001 values of 250 nodes / 15,630 edges) that the capped graph
+    keeps >= 100 nodes and >= 1,000 edges, and that multi-node
+    components exist (some fingerprint is shared by >= 2 even docs) —
+    the non-vacuity the cc_exact 'edges' row relies on."""
+    from books2scrape_etl_spark.io import read_table
+    from books2scrape_etl_spark.operators.winnow import winnow_candidates
+
+    docs = read_table(spark, "documents", sf_dir).where(F.col("doc_id") % 2 == 0)
+    cand = winnow_candidates(docs, max_df=50, min_shared=3).persist()
+    n_edges = cand.count()
+    n_nodes = (
+        cand.select(F.col("id_a").alias("n"))
+        .union(cand.select(F.col("id_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    # every candidate pair is even-even by construction of the cap;
+    # the floors above prove near-dup pairs survive it in quantity
+    sample = cand.limit(10).collect()
+    cand.unpersist()
+    assert n_edges >= 1_000, n_edges
+    assert n_nodes >= 100, n_nodes
+    assert all(r.id_a % 2 == 0 and r.id_b % 2 == 0 for r in sample)
