@@ -63,6 +63,7 @@ from books2scrape_etl_spark import query_defs34  # noqa: E402,F401  (wraps defs4
 from books2scrape_etl_spark import query_defs35  # noqa: E402,F401  (wraps waves 23-32's oracles — keep after them)
 from books2scrape_etl_spark import query_defs36  # noqa: E402,F401
 from books2scrape_etl_spark import query_defs37  # noqa: E402,F401
+from books2scrape_etl_spark import query_defs38  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry ordering. The driver's CORRECTNESS harness checks at most the
@@ -74,65 +75,74 @@ from books2scrape_etl_spark import query_defs37  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-10 rotation (executes the write-ahead plan recorded here last
-# round, plus the two qnames VERDICT r9 flagged as omitted —
-# udtf_sentences and books_datasource — and the round's one new wave,
-# join_dpp): the r9-green window rotates OUT. Slots:
-#   (a) the TEN r9c rows-only -> oracle-paired conversions, none of
-#       which ever had a hard driver row in oracle-paired form;
-#   (b) the 16 r6-latest refreshers that didn't fit r9's allotment;
-#   (c) sql_api (ceded its r9 slot to cc_exact) + the three r9
-#       continuation qnames never driver-rowed (line_dedup,
-#       parse_struct_expand, explode_links) + udtf_sentences +
-#       books_datasource (VERDICT r9 item 1's two additions);
-#   (d) join_dpp — the new §4.2 dynamic-partition-pruning qname
-#       (VERDICT r9 item 2), earning its first row;
-#   (e) the remaining 17 slots to the three-rounds-stale r7 cohort,
-#       suites first (tpch_suite/2/3 pack 16 TPC-H shapes; sources/
-#       clean/columns_lineitem pack the scrape+clean singles), then
-#       the heavy join/groupBy singles.
-# After this window runs green, every oracle-paired qname in the
-# registry has a hard driver row, r7 or newer (VERDICT r9 item 1).
+# Round-11 rotation (executes the write-ahead plan recorded here last
+# round — VERDICT r10 item 1 cross-checked it against the registry,
+# no omissions): the r10-green window rotates OUT. Slots:
+#   (a) the full r8 cohort (42 qnames, three rounds stale) — the
+#       named packed groups/heavies first (sim_ann_probe, ann_recall,
+#       dedup_invariants, sketch_kmv, scd2_upsert, mv_incremental,
+#       join_bucketed, stream_join, stream_static_join, redact_pii,
+#       chunk_docs, decontaminate, corpus_build), then the r8-window
+#       singles (none of which ride a wave suite — the suite-packed
+#       singles are a disjoint set, all r9-fresh via their suites);
+#   (b) join_reorder_cbo — the round's ONE new wave (VERDICT r10
+#       item 2, the last SURVEY §4.2 row with no dedicated qname),
+#       earning its first row;
+#   (c) holdovers flagship + books_e2e, back after their r10 rest;
+#   (d) the remaining 5 slots to the r7-cohort leftovers in the
+#       recorded priority order: tpch_q3/q5/q10/q12/q14 (the six
+#       suite-less TPC-H singles minus q18, which leads the r12
+#       leftovers below; the other 16 TPC-H shapes are r10-fresh via
+#       tpch_suite/2/3).
 #
-# Round-11 rotation plan (write-ahead, the r7-verdict protocol): the
-# r10-green window rotates out; first claim on r11 slots is the r8
-# cohort (42 qnames, then three rounds stale) — suites and packed
-# groups first (sim_ann_probe, ann_recall, dedup_invariants,
-# sketch_kmv, scd2_upsert, mv_incremental, join_bucketed,
-# stream_join, stream_static_join, redact_pii, chunk_docs,
-# decontaminate, corpus_build, and the wave-9-22 singles riding
-# their suites where one exists), then the r7 leftovers that did not
-# fit r10 (tpch_q3/q5/q10/q12/q14/q18 singles, multimodal_decode,
-# asof_join_general, surrogate_key_scale, pagerank_invariants,
-# als_invariants, ewma_decay, bpe_pairs, tfidf_bm25, tokenize_ids,
-# explode_split, graph-family singles), prioritized the same way:
-# never/oldest hard row first, suites before singles, heavies get
-# direct slots. Holdover candidates: flagship + books_e2e return
-# after their r10 rest (both r9-green, both bench-pinned every
-# round).
+# Round-12 rotation plan (write-ahead, the r7-verdict protocol): the
+# r11-green window rotates out; first claim on r12 slots is the r9
+# cohort (48 qnames once flagship/books_e2e are r11-green) — suites
+# first (columns_part_suite, distinct_suite, semi_anti_suite,
+# set_ops_suite, window_suite, scalar_funcs_suite,
+# stream_windows_suite, subquery_suite, pivot_unpivot_suite,
+# winnow_suite, sampling_suite, agg_olap_suite, text_suite,
+# wave12_suite, wave13_14_suite, wave15_16_suite, wave20_21_suite,
+# wave22_suite, wave23_24_suite, wave25_26_suite, wave27_29_suite,
+# wave30_32_suite — each standing in for its packed singles), then
+# the r9 singles (dedup_exact, dedup_simhash, ngram_jaccard,
+# sim_cosine, embed_near_dup, date_funcs, bin_quantile_scale,
+# corpus_curation, json_map_ops, corpus_mixture, pack_next_fit,
+# sketch_cms, heavy_hitters, scan_jsonl, scan_orc, scan_merge_schema,
+# fuzzy_join, sketch_kmv_setops, join_bloom, join_skew_aqe,
+# rfm_segments, change_point, scan_schema_drift, zorder_layout,
+# packing_efficiency, cc_exact), then the remaining r7 leftovers
+# (tpch_q18, multimodal_decode, asof_join_general,
+# surrogate_key_scale, pagerank_invariants, als_invariants,
+# ewma_decay, bpe_pairs, tfidf_bm25, tokenize_ids, explode_split,
+# shuffle_shards, group_percentiles, zorder_cluster,
+# stratified_sample, weighted_sample, stratified_threshold, and the
+# wave-7 SQL-surface singles), prioritized the same way: never/
+# oldest hard row first, suites before singles, heavies get direct
+# slots. 48 + tpch_q18 + multimodal_decode fills the 50 exactly;
+# everything else heads the r13 claim.
 WINDOW: tuple[str, ...] = (
-    # (a) r9c rows-only -> oracle-paired conversions, first hard rows
-    "stream_tumbling_rt", "stream_dedup_rt", "stream_stateful_rt",
-    "stream_join_rt", "stream_foreachbatch_rt", "stream_books_star_rt",
-    "books_stream_source_rt", "pack_ffd", "dedup_cc_star",
-    "embed_generate",
-    # (b) r6-latest refreshers
-    "variant_ops", "token_budget", "topk_ordered", "lm_quality",
-    "dq_audit", "outlier_zscore", "embed_norm", "embed_quantize",
-    "multimodal_bytes", "multimodal_resize", "recursive_cte",
-    "scale_invariants", "funnel_steps", "avi_frames", "compact_files",
-    "window_range_time",
-    # (c) never-rowed singles + the two VERDICT r9 additions
-    "sql_api", "line_dedup", "parse_struct_expand", "explode_links",
-    "udtf_sentences", "books_datasource",
-    # (d) the round's one new wave: dynamic partition pruning
-    "join_dpp",
-    # (e) r7 cohort refreshers: suites first, then heavy singles
-    "tpch_suite", "tpch_suite2", "tpch_suite3",
-    "sources_suite", "clean_suite", "columns_lineitem_suite",
-    "join_fact", "join_sortmerge", "join_salted", "join_asof",
-    "grouped_map", "udaf_grouped", "graph_degree", "als_topk",
-    "snapshot_cdc", "partition_pruning", "window_hopping",
+    # (a) r8 cohort — named packed groups / heavies first
+    "sim_ann_probe", "ann_recall", "dedup_invariants", "sketch_kmv",
+    "scd2_upsert", "mv_incremental", "join_bucketed", "stream_join",
+    "stream_static_join", "redact_pii", "chunk_docs", "decontaminate",
+    "corpus_build",
+    # (a) r8 cohort — the r8-window singles
+    "window_lag_lead", "agg_stats", "report_render", "approx_bounds",
+    "cohort_retention", "ts_gapfill", "ohlc_bars",
+    "quantile_normalize_scale", "feature_hashing", "kmeans_invariants",
+    "sessionize_batch", "graph_triangles", "inverted_index",
+    "graph_bfs", "pca_gram", "ts_interp", "topk_groups_scale",
+    "ts_trend", "lorenz_deciles", "knn_confusion", "class_weights",
+    "funnel_conversion", "cohort_retention_monthly", "profile_table",
+    "edit_distance_pairs", "distinctive_terms", "rate_limit_keys",
+    "max_concurrency", "negative_sampling",
+    # (b) the round's one new wave: CBO join reordering
+    "join_reorder_cbo",
+    # (c) holdovers, back after their r10 rest
+    "flagship", "books_e2e",
+    # (d) r7-cohort leftovers, recorded priority order
+    "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q12", "tpch_q14",
 )
 
 

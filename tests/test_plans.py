@@ -93,6 +93,28 @@ def test_join_dpp_runtime_pruning_subquery(spark, sf_dir):
     assert "subqueryadaptivebroadcast" in low or "subquerybroadcast" in low
 
 
+def test_join_reorder_cbo_reorders_join_tree(spark, sf_dir):
+    # SURVEY §4.2 "join reordering -> CBO with stats / ANALYZE TABLE":
+    # with stats + cbo.joinReorder on, the deliberately bad written
+    # order (fact x fact first, filtered dim last) must flip so the
+    # ~1/5-selective customer filter prunes orders BEFORE the fact
+    # join. Pin: the TOPMOST join in the optimized logical plan keys on
+    # l_orderkey (lineitem joined last) with CBO on, and on c_custkey
+    # (the written order) with it off — proving the REORDER RULE moved
+    # the tree, not Spark's default planning.
+    from books2scrape_etl_spark.query_defs38 import build_cbo_join, cbo_conf_guard
+
+    def top_join(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return next(l for l in s.splitlines() if "Join Inner" in l)
+
+    baseline = top_join(build_cbo_join(spark, sf_dir))
+    assert "c_custkey" in baseline, baseline
+    with cbo_conf_guard(spark):
+        reordered = top_join(build_cbo_join(spark, sf_dir))
+    assert "l_orderkey" in reordered and "c_custkey" not in reordered, reordered
+
+
 def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     plan = explain_str(QUERIES["dedup_exact"](spark, sf_dir))
     exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
