@@ -120,7 +120,10 @@ from books2scrape_etl_spark import query_defs38  # noqa: E402,F401
 # wave-7 SQL-surface singles), prioritized the same way: never/
 # oldest hard row first, suites before singles, heavies get direct
 # slots. 48 + tpch_q18 + multimodal_decode fills the 50 exactly;
-# everything else heads the r13 claim.
+# everything else heads the r13 claim — starting with sim_lsh +
+# sim_ivf (oracle-paired since r10 but never directly rowed; their
+# family evidence rides sim_ann_probe/ann_recall, r11-fresh), then
+# the remaining r7 leftovers listed above.
 WINDOW: tuple[str, ...] = (
     # (a) r8 cohort — named packed groups / heavies first
     "sim_ann_probe", "ann_recall", "dedup_invariants", "sketch_kmv",
