@@ -13,10 +13,16 @@ filtered slice — the first-join output row count below IS that ratio.
 
     python scripts/cbo_reorder_probe.py                  # sf0.01
     CBO_PROBE_SF_DIR=/root/testdata/sf0.1 python ...     # scale point
+    CBO_PROBE_NO_BROADCAST=1 python ...                  # shuffle mode
+
+`CBO_PROBE_NO_BROADCAST=1` disables auto-broadcast so both joins run
+as shuffle joins — the cluster-scale shape where the written order's
+waste is WIRE bytes, not just probe CPU; the probe then also sums
+shuffle bytes written across the plan's exchanges per variant.
 
 Prints one JSON line: per-variant wall seconds, the first (deepest)
-join's output rows, and the value-equality check (reorder is a pure
-optimization).
+join's output rows, shuffle bytes (no-broadcast mode), and the
+value-equality check (reorder is a pure optimization).
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("CBO_PROBE_SF_DIR", "/root/testdata/sf0.01")
+NO_BROADCAST = os.environ.get("CBO_PROBE_NO_BROADCAST", "0") == "1"
 
 
 def _walk(node):
@@ -45,23 +52,24 @@ def _walk(node):
             stack.append(ch.next())
 
 
-def join_output_rows(df) -> list[tuple[str, int]]:
-    """(join node name, numOutputRows) for every join in the executed
-    plan, deepest last."""
+def plan_metrics(df) -> tuple[list[tuple[str, int]], int]:
+    """((join node name, numOutputRows) deepest-last, total shuffle
+    bytes written across the plan's exchanges)."""
     jplan = df._jdf.queryExecution().executedPlan()
     if "Adaptive" in jplan.getClass().getSimpleName():
         jplan = jplan.executedPlan()
-    out = []
+    joins: list[tuple[str, int]] = []
+    shuffle_bytes = 0
     for n in _walk(jplan):
         name = n.nodeName()
-        if "Join" not in name:
-            continue
         it = n.metrics().iterator()
         while it.hasNext():
             kv = it.next()
-            if kv._1() == "numOutputRows":
-                out.append((name, int(kv._2().value())))
-    return out
+            if "Join" in name and kv._1() == "numOutputRows":
+                joins.append((name, int(kv._2().value())))
+            if "Exchange" in name and kv._1() == "shuffleBytesWritten":
+                shuffle_bytes += int(kv._2().value())
+    return joins, shuffle_bytes
 
 
 def main() -> int:
@@ -74,6 +82,8 @@ def main() -> int:
         .getOrCreate()
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if NO_BROADCAST:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     from books2scrape_etl_spark.query_defs38 import build_cbo_join, cbo_conf_guard
 
     def run(label: str, guard):
@@ -82,17 +92,18 @@ def main() -> int:
             with cbo_conf_guard(spark):
                 df = build_cbo_join(spark, SF_DIR)
                 rows = df.collect()
-                joins = join_output_rows(df)
+                joins, sh = plan_metrics(df)
         else:
             df = build_cbo_join(spark, SF_DIR)
             rows = df.collect()
-            joins = join_output_rows(df)
+            joins, sh = plan_metrics(df)
         return {
             "wall_sec": round(time.time() - t0, 2),
             # the deepest join executes first; its output is the
             # intermediate the next join consumes
             "first_join_rows": joins[-1][1] if joins else None,
             "joins": [f"{n}:{r}" for n, r in joins],
+            "shuffle_bytes": sh if NO_BROADCAST else None,
             "result": sorted(map(tuple, rows)),
         }
 
