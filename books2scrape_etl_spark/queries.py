@@ -111,19 +111,22 @@ from books2scrape_etl_spark import query_defs38  # noqa: E402,F401
 # sketch_cms, heavy_hitters, scan_jsonl, scan_orc, scan_merge_schema,
 # fuzzy_join, sketch_kmv_setops, join_bloom, join_skew_aqe,
 # rfm_segments, change_point, scan_schema_drift, zorder_layout,
-# packing_efficiency, cc_exact), then the remaining r7 leftovers
-# (tpch_q18, multimodal_decode, asof_join_general,
-# surrogate_key_scale, pagerank_invariants, als_invariants,
-# ewma_decay, bpe_pairs, tfidf_bm25, tokenize_ids, explode_split,
-# shuffle_shards, group_percentiles, zorder_cluster,
+# packing_efficiency — but NOT cc_exact: its capped ~25 s solo sits
+# correctly PAST the window per VERDICT r10 item 6's cost bound, and
+# the CC family's in-window signal rides dedup_cc_star (r10) +
+# dedup_invariants (r11); re-row cc_exact only if its code changes),
+# then the remaining r7 leftovers (tpch_q18, multimodal_decode,
+# asof_join_general, surrogate_key_scale, pagerank_invariants,
+# als_invariants, ewma_decay, bpe_pairs, tfidf_bm25, tokenize_ids,
+# explode_split, shuffle_shards, group_percentiles, zorder_cluster,
 # stratified_sample, weighted_sample, stratified_threshold, and the
 # wave-7 SQL-surface singles), prioritized the same way: never/
 # oldest hard row first, suites before singles, heavies get direct
-# slots. 48 + tpch_q18 + multimodal_decode fills the 50 exactly;
-# everything else heads the r13 claim — starting with sim_lsh +
-# sim_ivf (oracle-paired since r10 but never directly rowed; their
-# family evidence rides sim_ann_probe/ann_recall, r11-fresh), then
-# the remaining r7 leftovers listed above.
+# slots. 47 + tpch_q18 + multimodal_decode + asof_join_general fills
+# the 50 exactly; everything else heads the r13 claim — starting
+# with sim_lsh + sim_ivf (oracle-paired since r10 but never directly
+# rowed; their family evidence rides sim_ann_probe/ann_recall,
+# r11-fresh), then the remaining r7 leftovers listed above.
 WINDOW: tuple[str, ...] = (
     # (a) r8 cohort — named packed groups / heavies first
     "sim_ann_probe", "ann_recall", "dedup_invariants", "sketch_kmv",
