@@ -32,7 +32,8 @@ optimizes at ACTION time, so a lazily returned plan would optimize
 only after the guard restored ``cbo.enabled=false``.
 
 Reference parity: the reference joins its dims in whatever order the
-pandas merges were written (transformation_pipeline.py); a cost model
+pandas merges were written (transformation_pipeline.py:96-99 — four
+chained merges, order fixed by the source text); a cost model
 choosing the order from statistics is the Spark-native upgrade.
 """
 
