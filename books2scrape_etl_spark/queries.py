@@ -75,80 +75,68 @@ from books2scrape_etl_spark import query_defs38  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-11 rotation (executes the write-ahead plan recorded here last
-# round — VERDICT r10 item 1 cross-checked it against the registry,
-# no omissions): the r10-green window rotates OUT. Slots:
-#   (a) the full r8 cohort (42 qnames, three rounds stale) — the
-#       named packed groups/heavies first (sim_ann_probe, ann_recall,
-#       dedup_invariants, sketch_kmv, scd2_upsert, mv_incremental,
-#       join_bucketed, stream_join, stream_static_join, redact_pii,
-#       chunk_docs, decontaminate, corpus_build), then the r8-window
-#       singles (none of which ride a wave suite — the suite-packed
-#       singles are a disjoint set, all r9-fresh via their suites);
-#   (b) join_reorder_cbo — the round's ONE new wave (VERDICT r10
-#       item 2, the last SURVEY §4.2 row with no dedicated qname),
-#       earning its first row;
-#   (c) holdovers flagship + books_e2e, back after their r10 rest;
-#   (d) the remaining 5 slots to the r7-cohort leftovers in the
-#       recorded priority order: tpch_q3/q5/q10/q12/q14 (the six
-#       suite-less TPC-H singles minus q18, which leads the r12
-#       leftovers below; the other 16 TPC-H shapes are r10-fresh via
-#       tpch_suite/2/3).
+# Round-12 rotation (executes the write-ahead plan recorded here last
+# round — VERDICT r11 item 1 cross-checked it against the registry,
+# no omissions): the r11-green window rotates OUT. Slots, exactly as
+# written ahead:
+#   (a) the r9 cohort's 22 packing suites (each standing in for its
+#       packed singles — the suite contract re-runs each single's
+#       registered callable and wraps its oracle SQL verbatim);
+#   (b) the r9 cohort's 25 direct singles (cc_exact stays correctly
+#       PAST the window per VERDICT r10 item 6's cost bound — its
+#       capped ~25 s solo; the CC family's in-window signal rides
+#       dedup_cc_star r10 + dedup_invariants r11);
+#   (c) the three r7 leftovers that fill the 50 exactly: tpch_q18,
+#       multimodal_decode, asof_join_general.
+# Pull-forward (VERDICT r11 item 3, the sanctioned suite-packing
+# path): wave30_32_suite gains sim_lsh + sim_ivf sections this round
+# — the only two oracle-paired qnames with no direct-or-suite driver
+# row in 11 rounds earn their first hard rows HERE, inside slot (a),
+# without altering the recorded 50 names.
 #
-# Round-12 rotation plan (write-ahead, the r7-verdict protocol): the
-# r11-green window rotates out; first claim on r12 slots is the r9
-# cohort (48 qnames once flagship/books_e2e are r11-green) — suites
-# first (columns_part_suite, distinct_suite, semi_anti_suite,
-# set_ops_suite, window_suite, scalar_funcs_suite,
-# stream_windows_suite, subquery_suite, pivot_unpivot_suite,
-# winnow_suite, sampling_suite, agg_olap_suite, text_suite,
-# wave12_suite, wave13_14_suite, wave15_16_suite, wave20_21_suite,
-# wave22_suite, wave23_24_suite, wave25_26_suite, wave27_29_suite,
-# wave30_32_suite — each standing in for its packed singles), then
-# the r9 singles (dedup_exact, dedup_simhash, ngram_jaccard,
-# sim_cosine, embed_near_dup, date_funcs, bin_quantile_scale,
-# corpus_curation, json_map_ops, corpus_mixture, pack_next_fit,
-# sketch_cms, heavy_hitters, scan_jsonl, scan_orc, scan_merge_schema,
-# fuzzy_join, sketch_kmv_setops, join_bloom, join_skew_aqe,
-# rfm_segments, change_point, scan_schema_drift, zorder_layout,
-# packing_efficiency — but NOT cc_exact: its capped ~25 s solo sits
-# correctly PAST the window per VERDICT r10 item 6's cost bound, and
-# the CC family's in-window signal rides dedup_cc_star (r10) +
-# dedup_invariants (r11); re-row cc_exact only if its code changes),
-# then the remaining r7 leftovers (tpch_q18, multimodal_decode,
-# asof_join_general, surrogate_key_scale, pagerank_invariants,
-# als_invariants, ewma_decay, bpe_pairs, tfidf_bm25, tokenize_ids,
-# explode_split, shuffle_shards, group_percentiles, zorder_cluster,
-# stratified_sample, weighted_sample, stratified_threshold, and the
-# wave-7 SQL-surface singles), prioritized the same way: never/
-# oldest hard row first, suites before singles, heavies get direct
-# slots. 47 + tpch_q18 + multimodal_decode + asof_join_general fills
-# the 50 exactly; everything else heads the r13 claim — starting
-# with sim_lsh + sim_ivf (oracle-paired since r10 but never directly
-# rowed; their family evidence rides sim_ann_probe/ann_recall,
-# r11-fresh), then the remaining r7 leftovers listed above.
+# Round-13 rotation plan (write-ahead, the r7-verdict protocol): the
+# r12-green window rotates out; sim_lsh + sim_ivf take DIRECT slots
+# at the head (upgrading their r12 suite rows to direct rows, fully
+# closing VERDICT r11 item 3's "hard driver row for each"); the other
+# 48 slots go to the r10 cohort (two rounds stale by then) in the
+# standard priority order — suites first (tpch_suite, tpch_suite2,
+# tpch_suite3, sources_suite, clean_suite, columns_lineitem_suite),
+# then the real-stream heavies (stream_tumbling_rt, stream_dedup_rt,
+# stream_stateful_rt, stream_join_rt, stream_foreachbatch_rt,
+# stream_books_star_rt, books_stream_source_rt), then the r10-window
+# singles (pack_ffd, dedup_cc_star, embed_generate, variant_ops,
+# token_budget, topk_ordered, lm_quality, dq_audit, outlier_zscore,
+# embed_norm, embed_quantize, multimodal_bytes, multimodal_resize,
+# recursive_cte, scale_invariants, funnel_steps, avi_frames,
+# compact_files, window_range_time, sql_api, line_dedup,
+# parse_struct_expand, explode_links, udtf_sentences,
+# books_datasource, join_dpp, join_fact, join_sortmerge, join_salted,
+# join_asof, grouped_map, udaf_grouped, graph_degree, als_topk,
+# snapshot_cdc) — 2 + 6 + 7 + 35 = 50. The two r10-cohort leftovers
+# (partition_pruning, window_hopping) defer to the r14 claim: their
+# families carry the freshest alternate evidence (join_dpp same-slot
+# r13, stream_windows_suite r12-fresh), so they are the lowest-risk
+# deferrals. r14 claim order after those two: the r11 cohort by then
+# two rounds stale, same suites-first protocol.
 WINDOW: tuple[str, ...] = (
-    # (a) r8 cohort — named packed groups / heavies first
-    "sim_ann_probe", "ann_recall", "dedup_invariants", "sketch_kmv",
-    "scd2_upsert", "mv_incremental", "join_bucketed", "stream_join",
-    "stream_static_join", "redact_pii", "chunk_docs", "decontaminate",
-    "corpus_build",
-    # (a) r8 cohort — the r8-window singles
-    "window_lag_lead", "agg_stats", "report_render", "approx_bounds",
-    "cohort_retention", "ts_gapfill", "ohlc_bars",
-    "quantile_normalize_scale", "feature_hashing", "kmeans_invariants",
-    "sessionize_batch", "graph_triangles", "inverted_index",
-    "graph_bfs", "pca_gram", "ts_interp", "topk_groups_scale",
-    "ts_trend", "lorenz_deciles", "knn_confusion", "class_weights",
-    "funnel_conversion", "cohort_retention_monthly", "profile_table",
-    "edit_distance_pairs", "distinctive_terms", "rate_limit_keys",
-    "max_concurrency", "negative_sampling",
-    # (b) the round's one new wave: CBO join reordering
-    "join_reorder_cbo",
-    # (c) holdovers, back after their r10 rest
-    "flagship", "books_e2e",
-    # (d) r7-cohort leftovers, recorded priority order
-    "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q12", "tpch_q14",
+    # (a) r9 cohort — the 22 packing suites
+    "columns_part_suite", "distinct_suite", "semi_anti_suite",
+    "set_ops_suite", "window_suite", "scalar_funcs_suite",
+    "stream_windows_suite", "subquery_suite", "pivot_unpivot_suite",
+    "winnow_suite", "sampling_suite", "agg_olap_suite", "text_suite",
+    "wave12_suite", "wave13_14_suite", "wave15_16_suite",
+    "wave20_21_suite", "wave22_suite", "wave23_24_suite",
+    "wave25_26_suite", "wave27_29_suite", "wave30_32_suite",
+    # (b) r9 cohort — the 25 direct singles
+    "dedup_exact", "dedup_simhash", "ngram_jaccard", "sim_cosine",
+    "embed_near_dup", "date_funcs", "bin_quantile_scale",
+    "corpus_curation", "json_map_ops", "corpus_mixture",
+    "pack_next_fit", "sketch_cms", "heavy_hitters", "scan_jsonl",
+    "scan_orc", "scan_merge_schema", "fuzzy_join", "sketch_kmv_setops",
+    "join_bloom", "join_skew_aqe", "rfm_segments", "change_point",
+    "scan_schema_drift", "zorder_layout", "packing_efficiency",
+    # (c) r7 leftovers that fill the 50 exactly
+    "tpch_q18", "multimodal_decode", "asof_join_general",
 )
 
 

@@ -6,7 +6,9 @@ singles. These four suites pack 30 of them (change_point keeps a
 direct slot: its CUSUM scan is the one ~15 s-at-sf0.01 heavy in the
 group and would dominate a packed union) so every wave-23–32 qname
 earns a hard driver row in round 9, per the write-ahead rotation plan
-recorded in queries.py last round.
+recorded in queries.py last round. Round 12 adds two out-of-cohort
+sections to wave30_32_suite — sim_lsh + sim_ivf (VERDICT r11 item 3's
+sanctioned pull-forward; see that suite's comment block).
 
 Suite contract (query_defs33's, helpers in suites.py): each section
 re-runs the single's registered Spark callable and wraps the single's
@@ -29,7 +31,11 @@ from books2scrape_etl_spark.suites import (
     width as _width,
 )
 
-# Registration-order deps: each suite wraps oracles from waves 23-32.
+# Registration-order deps: each suite wraps oracles from waves 23-32;
+# wave30_32_suite additionally wraps sim_lsh (query_defs) and sim_ivf
+# (query_defs3) since round 12.
+from books2scrape_etl_spark import query_defs as _dep1  # noqa: F401,E402
+from books2scrape_etl_spark import query_defs3 as _dep3  # noqa: F401,E402
 from books2scrape_etl_spark import query_defs23 as _dep23  # noqa: F401,E402
 from books2scrape_etl_spark import query_defs24 as _dep24  # noqa: F401,E402
 from books2scrape_etl_spark import query_defs25 as _dep25  # noqa: F401,E402
@@ -202,11 +208,20 @@ def q_wave27_29_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------
 # wave30_32_suite — bootstrap/dedup-keep-best + k-anonymity/freshness +
-# FD audit (5 sections; change_point keeps its direct slot).
+# FD audit (5 sections; change_point keeps its direct slot) + the
+# round-12 pull-forward: sim_lsh and sim_ivf (VERDICT r11 item 3 — the
+# only two oracle-paired qnames with no direct-or-suite driver row in
+# 11 rounds; packing them here gives both a hard r12 row through the
+# sanctioned suite-stand-in path without spending direct window
+# slots). Their invariant-check outputs are the suite-friendliest
+# shape in the registry: (kind string, k string, n1, n2) constants
+# that only match the oracle when every in-plan law holds.
 # ---------------------------------------------------------------------
 
-_W3032 = _width(1, 9, 5)
+_W3032 = _width(2, 9, 5)
 _W3032_SECTIONS: dict[str, dict[str, str]] = {
+    "sim_lsh": {"s1": "kind", "s2": "k", "n1": "n1", "n2": "n2"},
+    "sim_ivf": {"s1": "kind", "s2": "k", "n1": "n1", "n2": "n2"},
     "bootstrap_se": {
         "n1": "n", "n2": "n_replicas",
         "d1": "mean_full", "d2": "boot_min", "d3": "boot_max",
@@ -237,7 +252,10 @@ def q_wave30_32_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_anonymity (QI group-size audit), data_freshness (per-type lag),
     fd_audit (functional-dependency violations). change_point stays a
     direct window single (its CUSUM scan is the heavy of the group).
-    Sections re-run the singles' plans."""
+    Since round 12 the suite also packs sim_lsh + sim_ivf (the ANN
+    invariant-law checks — VERDICT r11 item 3's pull-forward), giving
+    both their first hard driver rows. Sections re-run the singles'
+    plans."""
     return _suite_df(spark, sf_dir, _W3032, _W3032_SECTIONS)
 
 
