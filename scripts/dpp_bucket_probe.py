@@ -1,35 +1,46 @@
-"""DPP x bucketing composition probe (VERDICT r10 item 7): the full
-100 TB warehouse access path is a fact table that is BOTH
-date-partitioned (so a filtered calendar dim prunes whole directories
-at runtime — `join_dpp`'s evidence) AND bucketed on its join key (so
-the fact-fact join is a bucket-local sort-merge with zero Exchange —
-`join_bucketed`'s evidence). Each half is driver-green separately;
-this probe lands ONE table carrying both layouts and runs ONE query
-exercising both, proving the two optimizations compose rather than
-disable each other:
+"""DPP x bucketing x skew-salting composition probe (VERDICT r10
+item 7, extended per VERDICT r11 item 6): the full 100 TB warehouse
+access path is a fact table that is BOTH date-partitioned (so a
+filtered calendar dim prunes whole directories at runtime —
+`join_dpp`'s evidence) AND bucketed on its join key (so the fact-fact
+join is a bucket-local sort-merge with zero Exchange —
+`join_bucketed`'s evidence), feeding a downstream join on a
+pathologically skewed key that must be salted (`join_salted`'s
+evidence). Each pair was proven separately; this probe lands ONE
+table carrying both layouts and runs ONE query exercising all three,
+proving the optimizations compose rather than disable each other:
 
     lineitem  -> partitionBy(ship_month) + bucketBy(8, l_orderkey)
     orders    -> bucketBy(8, o_orderkey)
     month dim -> (ship_month, ship_quarter) distinct, ~83 rows
+    prio dim  -> (o_orderpriority, prio_class) distinct, 5 rows
 
     SELECT ... FROM fact
       JOIN orders  ON l_orderkey = o_orderkey     -- bucket-local SMJ
       JOIN dim     ON fact.ship_month = dim.ship_month
-    WHERE dim.ship_quarter = '1995-Q1'            -- runtime -> DPP
+      WHERE dim.ship_quarter = '1995-Q1'          -- runtime -> DPP
+      JOIN prio    ON (o_orderpriority, salt)     -- salted SMJ: the
+                                                  -- 5-value key would
+                                                  -- land ALL volume on
+                                                  -- 5 reducers unsalted
     GROUP BY o_orderpriority
 
 Asserts on the executed plan + scan metrics:
 
 1. the fact scan carries `dynamicpruningexpression` in its partition
-   filters (DPP fired THROUGH the bucketed layout);
+   filters (DPP fired THROUGH the bucketed layout, under the extra
+   join);
 2. only the matching month directories are read (3 of 83 at any SF —
    scan metric `number of partitions read`);
 3. the fact-orders SortMergeJoin has NO Exchange on either input
-   (bucket-local: the only exchange in the plan is the final
-   aggregation's);
-4. the result is value-identical to the same query over plain
-   unpartitioned, unbucketed parquet scans (both layouts are pure
-   optimizations).
+   (bucket-local);
+4. the salted join's Exchange hash-partitions on (o_orderpriority,
+   __salt) — the hot key's volume spreads over salt_buckets reducers
+   instead of one;
+5. the result is value-identical to the same query over plain
+   unpartitioned, unbucketed parquet scans with a PLAIN UNSALTED
+   priority join — one equality proving both layouts and the salt are
+   pure optimizations.
 
     python scripts/dpp_bucket_probe.py                 # sf0.01
     DPP_BUCKET_SF_DIR=/root/testdata/sf0.1 python ...  # scale point
@@ -52,6 +63,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from books2scrape_etl_spark.functions.agg import sum_exact  # noqa: E402
+from books2scrape_etl_spark.operators.scale import salted_join  # noqa: E402
 
 SF_DIR = os.environ.get("DPP_BUCKET_SF_DIR", "/root/testdata/sf0.01")
 SCRATCH = "/tmp/spark_graft_scratch/dpp_bucket_probe"
@@ -89,6 +101,13 @@ def main() -> int:
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
         "o_orderkey", "o_orderpriority"
     )
+    # The skewed-join dimension: 5 priorities cover ALL fact rows, so
+    # an unsalted shuffle join on o_orderpriority puts every row on one
+    # of 5 reducers regardless of cluster width.
+    prio = o.select(
+        "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_class"),
+    ).distinct()
     (
         o.write.mode("overwrite")
         .format("parquet")
@@ -111,14 +130,31 @@ def main() -> int:
         .distinct()
     )
 
-    def query(fact, orders):
-        return (
+    def query(fact, orders, salted=True):
+        joined = (
             fact.hint("merge")
             .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(
                 dim.where(F.col("ship_quarter") == "1995-Q1"), "ship_month"
             )
-            .groupBy("o_orderpriority")
+        )
+        if salted:
+            # Composed skew handling: deterministic 8-way salt spreads
+            # the 5-value hot key; the merge hint keeps the join a
+            # shuffle SMJ at probe scale where AQE would broadcast the
+            # 40-row exploded dim and hide the salted Exchange the
+            # probe asserts on.
+            joined = salted_join(
+                joined.hint("merge"),
+                prio,
+                "o_orderpriority",
+                salt_buckets=8,
+                salt_src=["o_orderkey"],
+            )
+        else:
+            joined = joined.join(prio, "o_orderpriority")
+        return (
+            joined.groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 # Exact decimal sum (ADVICE r11): a rounded double sum
@@ -127,6 +163,7 @@ def main() -> int:
                 # boundary value could round differently and flip the
                 # values_equal_plain comparison spuriously.
                 sum_exact("l_extendedprice").alias("sum_price"),
+                F.max("prio_class").alias("prio_class"),
             )
             .orderBy("o_orderpriority")
         )
@@ -180,11 +217,17 @@ def main() -> int:
         if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
     ]
     bucket_join_shuffle_free = not any("orderkey" in l for l in shuffle_lines)
+    # the salted join's Exchange must hash-partition on the salt (the
+    # skew spread the composition exists to prove)
+    salt_shuffle_present = any("__salt" in l for l in shuffle_lines)
 
-    # plain twin: same query over raw parquet (no layouts)
+    # plain twin: same query over raw parquet (no layouts) with a
+    # PLAIN UNSALTED priority join — one equality proves both layouts
+    # AND the salt are pure optimizations
     plain = query(
         li.select("l_orderkey", "l_extendedprice", month),
         o,
+        salted=False,
     ).collect()
     same = sorted(map(tuple, rows)) == sorted(map(tuple, plain))
 
@@ -196,13 +239,20 @@ def main() -> int:
         "sortmergejoin_nodes": smj,
         "shuffle_exchanges": len(shuffle_lines),
         "bucket_join_shuffle_free": bucket_join_shuffle_free,
-        "values_equal_plain": same,
+        "salt_shuffle_present": salt_shuffle_present,
+        "values_equal_plain_unsalted": same,
         "n_groups": len(rows),
         "land_sec": round(t_land, 2),
         "query_sec": round(t_query, 2),
     }
     print(json.dumps(out))
-    ok = dpp_fired and same and smj >= 1 and bucket_join_shuffle_free
+    ok = (
+        dpp_fired
+        and same
+        and smj >= 1
+        and bucket_join_shuffle_free
+        and salt_shuffle_present
+    )
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
     return 0 if ok else 1
