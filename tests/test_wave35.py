@@ -28,6 +28,17 @@ _ALL = [
 ]
 
 
+def test_wave30_32_suite_carries_ann_pullforward():
+    """VERDICT r11 item 3: sim_lsh + sim_ivf ride wave30_32_suite since
+    round 12 (their first direct-or-suite driver rows). Pin the
+    sections so a future suite edit can't silently drop the evidence —
+    these two are the registry's newest hard rows and have no other
+    suite stand-in."""
+    for name in ("sim_lsh", "sim_ivf"):
+        assert name in _W3032_SECTIONS, name
+        assert f"sub_{name}." in ORACLE_SQL["wave30_32_suite"], name
+
+
 def test_suite_widths_cover_all_sections():
     """Every slot a section maps must exist in the suite width (a typo
     would silently project NULLs on one side only)."""
