@@ -27,10 +27,13 @@ filtered dim last), with a static partition filter on the fact:
 
 The filter width is load-bearing: a 3-month filter shrinks the fact
 slice BELOW the customer-filtered orders slice, and the reorder DP
-correctly keeps the written order (verified — both variants produced
-the identical plan). Twelve months keeps the fact slice the largest
-input, so the stats-driven flip genuinely pays and the probe can
-assert it fired.
+correctly keeps the written order. Twelve months keeps the fact slice
+the largest input, so the stats-driven flip genuinely pays and the
+probe can assert it fired. BOTH regimes are exercised on every run:
+the year query asserts the flip, and a Q1 negative-control leg
+asserts the DP keeps the written order when it is already optimal
+(identical first-join output with CBO off and on) — the cost model is
+choosing, not pattern-matching.
 
 Run twice under forced-SMJ (autoBroadcastJoinThreshold=-1, the
 cluster-scale shape where join order is wire bytes, not probe CPU):
@@ -191,11 +194,15 @@ def main() -> int:
         spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
     t_land = time.time() - t0
 
-    def query(fact, orders, cust):
+    def query(fact, orders, cust, month_filter=None):
         # written order: fact x fact first, filtered dim last — the
-        # shape only statistics can rescue
+        # shape only statistics can rescue. month_filter defaults to
+        # the 12-month year slice; the negative control passes the
+        # narrow Q1 filter instead.
+        if month_filter is None:
+            month_filter = F.col("ship_month").startswith(YEAR)
         return (
-            fact.where(F.col("ship_month").startswith(YEAR))
+            fact.where(month_filter)
             .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(
                 cust.where(F.col("c_mktsegment") == "BUILDING"),
@@ -209,7 +216,7 @@ def main() -> int:
             .orderBy("o_orderpriority")
         )
 
-    def run(cbo: bool):
+    def run(cbo: bool, month_filter=None):
         t0 = time.time()
 
         def body():
@@ -217,6 +224,7 @@ def main() -> int:
                 spark.table("cbol_fact"),
                 spark.table("cbol_orders"),
                 spark.table("cbol_cust"),
+                month_filter,
             )
             rows = df.collect()
             return df, rows
@@ -242,6 +250,20 @@ def main() -> int:
 
     off = run(cbo=False)
     on = run(cbo=True)
+
+    # Negative control, executed every invocation (not just observed
+    # once during development): with a 3-month filter the fact slice
+    # drops BELOW the customer-filtered orders slice, so the written
+    # order is already optimal and the DP must KEEP it — identical
+    # first-join output with CBO off and on. A cost model that flipped
+    # the tree unconditionally would fail this leg.
+    q1 = F.col("ship_month").isin(f"{YEAR}-01", f"{YEAR}-02", f"{YEAR}-03")
+    ctl_off = run(cbo=False, month_filter=q1)
+    ctl_on = run(cbo=True, month_filter=q1)
+    control_kept_order = (
+        ctl_off["first_join_rows"] == ctl_on["first_join_rows"]
+        and ctl_off.pop("result") == ctl_on.pop("result")
+    )
 
     # plain twin: raw parquet, no layout, no stats, CBO off
     plain = (
@@ -279,6 +301,11 @@ def main() -> int:
         "parts_total": parts_total,
         "land_sec": round(t_land, 2),
         "values_equal_plain": values_equal,
+        "control_first_join_rows": [
+            ctl_off["first_join_rows"],
+            ctl_on["first_join_rows"],
+        ],
+        "control_kept_order": control_kept_order,
     }
     print(json.dumps(out))
     ok = (
@@ -289,6 +316,7 @@ def main() -> int:
         and not on["fact_side_shuffled"]
         and off["parts_read"] == on["parts_read"] == parts_expected
         and parts_expected < parts_total
+        and control_kept_order
     )
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
