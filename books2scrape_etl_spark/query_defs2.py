@@ -792,7 +792,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language document and token budget. One composed lazy plan:
     the stats projection fuses into the scan, the filter prunes before
     the dedup shuffle, and the final agg is partial+final. This is the
-    query shape a 100 TB pretraining-corpus build runs daily."""
+    query shape a 100 TB pretraining-corpus build runs daily.
+
+    The survivor selection is a single ``min_by`` aggregation: the
+    survivor of each fingerprint group is the row with MIN(doc_id), so
+    carrying that row's (lang_pred, n_tokens) through ``min_by`` is
+    value-identical to the textbook self-join
+    (``filtered JOIN (GROUP BY fp -> MIN(doc_id)) ON (fp, doc_id)``)
+    while scanning/regex-ing the corpus ONCE instead of twice and
+    skipping the join entirely — doc_id is unique, so the min_by pick
+    is deterministic. Same two shuffles, half the compute."""
     from books2scrape_etl_spark.operators import text as T
 
     docs = read_table(spark, "documents", sf_dir)
@@ -807,9 +816,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = stats.where(
         (F.col("n_chars_measured") >= 100) & (F.col("lang_pred") != "unknown")
     )
-    survivors = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = filtered.groupBy("fp").agg(
+        F.min_by(F.struct("lang_pred", "n_tokens"), "doc_id").alias("_s")
+    )
     return (
-        filtered.join(survivors, ["fp", "doc_id"])
+        survivors.select(F.col("_s.lang_pred").alias("lang_pred"), F.col("_s.n_tokens").alias("n_tokens"))
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
