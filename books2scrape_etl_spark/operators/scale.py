@@ -18,6 +18,75 @@ from pyspark.sql import functions as F
 from books2scrape_etl_spark.functions.util import to_col
 
 
+def _sample_order_boundaries(
+    d: DataFrame, key_cols: Sequence[str], n_buckets: int, per_bucket: int = 64
+) -> list[tuple]:
+    """Sample ``n_buckets - 1`` ordered key tuples to use as bucket
+    boundaries, with ONE bounded job: ``ORDER BY xxhash64(keys) LIMIT
+    per_bucket * n_buckets`` compiles to TakeOrderedAndProject (a
+    per-partition heap + small driver merge — never a global sort, and
+    at most ``per_bucket * n_buckets`` rows reach the driver). Hashing
+    is uniform over distinct keys, so the sample's order statistics
+    estimate the key-space quantiles.
+
+    Boundaries steer BALANCE only, never values: the consumer buckets
+    keys by a monotone count-of-boundaries-below expression, so any
+    boundary set whatsoever yields the same final ids (see
+    dense_ids_scale). A skewed sample costs balance, not correctness.
+    """
+    if n_buckets <= 1:
+        return []
+    samp = (
+        d.select(*key_cols, F.xxhash64(*key_cols).alias("__h"))
+        .orderBy("__h")
+        .limit(per_bucket * n_buckets)
+        .collect()
+    )
+    # sort the sample lexicographically, nulls first (matches
+    # asc_nulls_first): per-column key (0,) for null / (1, value).
+    def key_fn(row):
+        return tuple(
+            (0,) if row[c] is None else (1, row[c]) for c in key_cols
+        )
+
+    rows = sorted(samp, key=key_fn)
+    if not rows:
+        return []
+    out, seen = [], set()
+    for i in range(1, n_buckets):
+        r = rows[(i * len(rows)) // n_buckets]
+        t = tuple(r[c] for c in key_cols)
+        if t not in seen:  # duplicate boundaries add nothing
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _order_bucket_expr(key_cols: Sequence[str], boundaries: list[tuple]):
+    """Monotone bucket id: count of boundary tuples lexicographically
+    BELOW the key (nulls-first order). Monotone in key order and equal
+    on equal keys, so buckets are contiguous runs of the sorted key
+    sequence — the property the offset prefix-sum construction needs.
+    """
+    bucket = F.lit(0)
+    for b in boundaries:
+        # key >lex b, nulls-first semantics
+        gt = F.lit(False)
+        eq_prefix = F.lit(True)
+        for c, bv in zip(key_cols, b):
+            col = to_col(c)
+            if bv is None:
+                col_gt = col.isNotNull()
+                col_eq = col.isNull()
+            else:
+                col_gt = F.coalesce(col > F.lit(bv), F.lit(False))
+                col_eq = col.eqNullSafe(F.lit(bv))
+            gt = gt | (eq_prefix & col_gt)
+            eq_prefix = eq_prefix & col_eq
+        bucket = bucket + (gt | eq_prefix).cast("int")  # >= b, i.e. b <= key
+    return bucket
+
+
 def dense_ids_scale(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -29,47 +98,60 @@ def dense_ids_scale(
     ``row_number() OVER (ORDER BY keys)``.
 
     Two-phase construction:
-    1. range-partition the distinct keys (partition i holds keys < all
-       of partition i+1 — repartitionByRange guarantees ordered ranges
-       by partition index), rank within each partition;
-    2. collect only the per-partition COUNTS (one tiny row per
-       partition), prefix-sum them on the driver, and broadcast-join
-       the offsets back: id = offset[pid] + local_rank.
+    1. bucket the distinct keys by an order-MONOTONE bucket column
+       (count of sampled boundary tuples at-or-below the key — bucket i
+       holds keys < all of bucket i+1 by construction), rank within
+       each bucket via a partitioned window (ONE hash exchange);
+    2. collect only the per-bucket COUNTS (one tiny row per bucket),
+       prefix-sum them on the driver, and broadcast-join the offsets
+       back: id = offset[bucket] + local_rank.
 
     The result is bit-identical to the exact global row_number (the
-    range order concatenated in partition order IS the total order), so
-    the same SQL oracle verifies both forms. Work per task is bounded by
-    the largest range; no task ever sees the whole key set.
+    bucket order concatenated in bucket-id order IS the total order —
+    ANY boundary set yields the same ids, boundaries only balance the
+    buckets), so the same SQL oracle verifies both forms. Work per task
+    is bounded by the largest bucket; no task ever sees the whole key
+    set.
+
+    Plan economics vs the earlier repartitionByRange construction: the
+    bucket id is a deterministic COLUMN, so the window's required
+    clustering is satisfied by its own single hash exchange — no range
+    exchange, no extra hashpartitioning(spark_partition_id()) exchange
+    on top of it, and no hidden range-boundary sampling job that
+    re-executes the whole distinct. Three shuffles of the key set
+    became one.
     """
+    spark = df.sparkSession
     cols = [to_col(c).alias(c) for c in key_cols]
-    d = df.select(*cols).distinct()
-    if num_partitions:
-        d = d.repartitionByRange(num_partitions, *key_cols)
-    else:
-        d = d.repartitionByRange(*key_cols)
-    staged = d.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*[to_col(c).asc_nulls_first() for c in key_cols])
-    # persist BEFORE the counts action: the ranked table is consumed twice
-    # (counts, final join) and repartitionByRange samples its boundaries —
-    # an unpersisted recompute may draw different ranges, making the
-    # offsets from the first evaluation wrong for the second. (Caught by
-    # the sf0.01 differential: sf0.001 happened to sample identically.)
+    # persist: the distinct key set is consumed by the boundary sample,
+    # the counts action and the final join. At scale the cached frame is
+    # the distinct KEY SET (dimension-sized), never the input fact.
+    d = df.select(*cols).distinct().persist()
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    boundaries = _sample_order_boundaries(d, key_cols, n)
+    staged = d.withColumn("__bkt", _order_bucket_expr(key_cols, boundaries))
+    w = Window.partitionBy("__bkt").orderBy(
+        *[to_col(c).asc_nulls_first() for c in key_cols]
+    )
+    # persist before the counts action: the ranked table is consumed
+    # twice (counts, final join); boundaries are plan literals, so a
+    # recompute is value-safe — the cache only saves the second window
+    # pass.
     ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
-    # tiny action: one row per partition
+    # tiny action: one row per bucket
     counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        (r["__bkt"], r["cnt"])
+        for r in ranked.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
     offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
+    for bkt, cnt in counts:
+        offsets[bkt] = acc
         acc += cnt
-    spark = df.sparkSession
     offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+        [(bkt, off) for bkt, off in offsets.items()], "__bkt int, __off long"
     )
     return (
-        ranked.join(F.broadcast(offsets_df), "__pid")
+        ranked.join(F.broadcast(offsets_df), "__bkt")
         .withColumn(id_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .select(id_col, *key_cols)
     )

@@ -22,6 +22,24 @@ def test_dense_ids_dense_unique(spark):
     assert sorted(ids) == list(range(1, 98))
 
 
+def test_dense_ids_null_and_string_keys_match_exact(spark):
+    """The order-bucket construction must rank nulls FIRST (matching
+    asc_nulls_first / the row_number oracle) for any orderable key
+    type, and the ids must not depend on which keys the boundary
+    sample happens to draw (different num_partitions = different
+    boundary sets = same ids)."""
+    rows = [(None, None), (None, 3), ("a", 1), ("a", None), ("b", 2)] * 40 + [
+        (chr(97 + i % 26) * 2, i % 7) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    exact = build_dim(df, ["k", "v"], "id")
+    e = {(r.k, r.v): r.id for r in exact.collect()}
+    for n in (1, 2, 7):
+        scale = dense_ids_scale(df, ["k", "v"], "id", num_partitions=n)
+        s = {(r.k, r.v): r.id for r in scale.collect()}
+        assert s == e, f"num_partitions={n}"
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_orderkey").alias("k"), "l_quantity", "l_linenumber"
@@ -72,7 +90,7 @@ def test_exact_sort_budget_switch_bin_quantile(spark):
 
 def test_exact_sort_budget_switch_build_dim(spark):
     """Above the budget build_dim assigns ids through dense_ids_scale
-    (range partition + offsets — __pid machinery in the plan, no
+    (monotone order-buckets + offsets — __bkt machinery in the plan, no
     unpartitioned row_number); ids and schema stay IDENTICAL to the
     exact path, so the switch is invisible to correctness."""
     from books2scrape_etl_spark.operators.scale import EXACT_SORT_BUDGET_CONF
@@ -82,12 +100,12 @@ def test_exact_sort_budget_switch_build_dim(spark):
     spark.conf.set(EXACT_SORT_BUDGET_CONF, "10")
     try:
         scale = build_dim(df, ["k"], "k_id")
-        # the scale path's per-partition offsets surface as __pid
+        # the scale path's per-bucket offsets surface as __bkt
         # (the localCheckpoint boundary hides the expression itself)
-        assert "__pid" in _executed_plan(scale)
+        assert "__bkt" in _executed_plan(scale)
         spark.conf.set(EXACT_SORT_BUDGET_CONF, "100000")
         exact = build_dim(df, ["k"], "k_id")
-        assert "__pid" not in _executed_plan(exact)
+        assert "__bkt" not in _executed_plan(exact)
         assert scale.dtypes == exact.dtypes  # nullability flags may differ
         assert sorted(map(tuple, scale.collect())) == sorted(map(tuple, exact.collect()))
     finally:
