@@ -87,6 +87,55 @@ def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFra
     )
 
 
+def build_dims_one_pass(
+    df: DataFrame, dim_specs: dict[str, tuple[Sequence[str], str]]
+) -> dict[str, DataFrame]:
+    """All dims of a star in ONE pass over the input (exact path).
+
+    ``build_dim`` per dim costs one full input scan plus one distinct
+    shuffle EACH. Here every dim's natural key becomes one grouping set
+    of a single aggregation: one scan, one Expand (x n_dims on the
+    projected key columns only), one map-side-combining aggregate, one
+    shuffle — and because every dim branch filters the SAME aggregate
+    subtree by grouping_id, Catalyst's ReuseExchange collapses the n
+    branch copies into one executed exchange. Per-dim id assignment is
+    the identical row_number-over-sorted-distinct as build_dim's exact
+    path, so results are bit-identical dim by dim.
+
+    Exact path only: callers route fact-sized inputs through
+    ``build_dim``'s budget guard / ``dense_ids_scale`` instead (the
+    per-dim global sort here is correct only for dim-sized key sets).
+    """
+    all_cols: list[str] = []
+    for natural_key, _ in dim_specs.values():
+        for c in natural_key:
+            if c not in all_cols:
+                all_cols.append(c)
+    sets = [list(natural_key) for natural_key, _ in dim_specs.values()]
+    # persist: the per-dim grouping_id filters would otherwise be pushed
+    # BELOW the aggregate (each branch gets its own filtered copy of the
+    # scan+Expand+agg subtree — three full input scans again, and the
+    # differing pushed filters defeat exchange reuse). The cached frame
+    # is the union of the distinct key sets — dim-sized by the exact-
+    # path contract — so every dim branch reads the one materialized
+    # aggregate instead of re-scanning the input.
+    g = df.groupingSets(sets, *all_cols).agg(F.grouping_id().alias("__gid")).persist()
+    dims: dict[str, DataFrame] = {}
+    for (name, (natural_key, id_col)), s in zip(dim_specs.items(), sets):
+        # grouping_id: bit j (MSB-first over all_cols) set when the
+        # column is AGGREGATED (not in this dim's set)
+        gid = 0
+        for j, c in enumerate(all_cols):
+            if c not in s:
+                gid |= 1 << (len(all_cols) - 1 - j)
+        dvals = g.where(F.col("__gid") == gid).select(*s)
+        w = Window.orderBy(*[to_col(c).asc_nulls_first() for c in s])
+        dims[name] = dvals.withColumn(
+            id_col, F.row_number().over(w).cast("int")
+        ).select(id_col, *s)
+    return dims
+
+
 def join_dim(
     fact: DataFrame,
     dim: DataFrame,
@@ -130,12 +179,22 @@ def build_star(
     joins by Catalyst (column pruning), unlike the reference which
     carries all columns through 4 merges (SURVEY.md §4.1).
     """
-    dims: dict[str, DataFrame] = {}
+    from books2scrape_etl_spark.operators.scale import exceeds_exact_sort_budget
+
+    # ONE budget probe for the whole star (build_dim would re-probe the
+    # same input once per dim); under budget all dims come from the
+    # single-pass grouping-sets build, over budget each routes through
+    # build_dim's dense_ids_scale path as before.
+    if exceeds_exact_sort_budget(cleaned):
+        dims = {
+            name: build_dim(cleaned, natural_key, id_col)
+            for name, (natural_key, id_col) in dim_specs.items()
+        }
+    else:
+        dims = build_dims_one_pass(cleaned, dim_specs)
     fact = cleaned
     for name, (natural_key, id_col) in dim_specs.items():
-        dim = build_dim(cleaned, natural_key, id_col)
-        dims[name] = dim
-        fact = join_dim(fact, dim, natural_key, null_safe=name in null_safe_dims)
+        fact = join_dim(fact, dims[name], natural_key, null_safe=name in null_safe_dims)
     id_cols = [id_col for (_, id_col) in dim_specs.values()]
     fact = fact.select(*id_cols, *[to_col(m).alias(m) for m in measures])
     return dims, fact
