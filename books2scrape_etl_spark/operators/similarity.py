@@ -88,12 +88,23 @@ def brute_force_topk(
     only shuffle is the per-query top-k window over |Q| * N candidate
     rows pre-filtered to k per partition by Catalyst's window top-k
     (rank pushdown in AQE) — and ties break on vec_id for determinism.
+
+    Norms are precomputed per SIDE, not per candidate: each embedding's
+    ``l2_norm`` is one array fold in the scan projection (N rows) and
+    each query's in the broadcast build (|Q| rows), so the |Q| * N
+    scoring pass runs ONE fold (the dot product) per candidate instead
+    of three. ``dot(a,b) / (l2_norm(a) * l2_norm(b))`` evaluates the
+    identical double expression tree either way — bit-identical scores.
     """
-    cand = emb.join(F.broadcast(queries), emb["vec_id"] != queries["q_id"])
+    e = emb.withColumn("__vn", l2_norm(F.col(vec_col)))
+    q = queries.withColumn("__qn", l2_norm(F.col("q_vec")))
+    cand = e.join(F.broadcast(q), e["vec_id"] != q["q_id"])
     scored = cand.select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col)) / (F.col("__qn") * F.col("__vn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -146,8 +157,15 @@ def lsh_topk(
     At 1000 executors this is a hash-partitioned join on a
     low-cardinality key, with AQE handling bucket skew.
     """
-    e = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, bits))
-    q = queries.withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits))
+    # per-side norm precompute (same bit-identical factoring as
+    # brute_force_topk): one fold per corpus/query row instead of two
+    # more per candidate in the scoring pass
+    e = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, bits)).withColumn(
+        "__vn", l2_norm(F.col(vec_col))
+    )
+    q = queries.withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits)).withColumn(
+        "__qn", l2_norm(F.col("q_vec"))
+    )
     if multi_probe > 0:
         flips = F.array(
             F.lit(0), *[F.lit(1 << b) for b in range(min(multi_probe, bits))]
@@ -162,7 +180,9 @@ def lsh_topk(
     scored = cand.select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col)) / (F.col("__qn") * F.col("__vn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -311,17 +331,22 @@ def ivf_topk(
         centers = kmeans_centroids(
             emb, n_lists, vec_col, seed=seed, train_fraction=train_fraction
         )
-    indexed = emb.withColumn("list_id", ivf_assign(F.col(vec_col), centers))
+    indexed = emb.withColumn(
+        "list_id", ivf_assign(F.col(vec_col), centers)
+    ).withColumn("__vn", l2_norm(F.col(vec_col)))
     q = queries.withColumn(
         "list_id", F.explode(ivf_probe_lists(F.col("q_vec"), centers, n_probe))
-    )
+    ).withColumn("__qn", l2_norm(F.col("q_vec")))
     cand = indexed.join(F.broadcast(q), on="list_id").where(
         F.col("vec_id") != F.col("q_id")
     )
+    # per-side norms (see brute_force_topk) — bit-identical scores
     scored = cand.select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col)) / (F.col("__qn") * F.col("__vn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
