@@ -171,33 +171,40 @@ def percent_rank_scale(
 
     Same two-phase construction as :func:`dense_ids_scale`, group-aware:
 
-    1. range-partition on (group, *order) — a group spans a RUN of
-       consecutive partitions, each task bounded by the range size, and
-       rank within (partition, group);
-    2. collect only the per-(partition, group) COUNTS (tiny: at most
-       partitions + groups rows), prefix-sum per group in partition
-       order on the driver, broadcast the offsets back:
+    1. bucket on an order-monotone column over (group, *order) — a
+       group spans a RUN of consecutive buckets, each task bounded by
+       the bucket size, and rank within (bucket, group);
+    2. collect only the per-(bucket, group) COUNTS (tiny: at most
+       buckets + groups rows), prefix-sum per group in bucket order on
+       the driver, broadcast the offsets back:
        rank = offset + local_rank, q = (rank-1)/(n_group-1).
 
     ``order_cols`` must be a total order within each group (include a
     tiebreak key); then the global rank is bit-identical to the exact
     window form and the SAME oracle verifies both. Single-row groups
     get q = 0.0 (the engines' own percent_rank convention).
+
+    Plan economics: the bucket id is an order-monotone COLUMN over
+    (group, *order) — see dense_ids_scale — so the window's own hash
+    exchange on (__bkt, group) is the ONLY shuffle; the earlier
+    repartitionByRange form paid a range exchange, a second
+    hashpartitioning(spark_partition_id()) exchange AND a hidden
+    boundary-sampling pass over the input.
     """
+    key_cols = [group_col, *order_cols]
     order = [to_col(c).asc_nulls_first() for c in order_cols]
-    rp = (
-        df.repartitionByRange(num_partitions, group_col, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(group_col, *order_cols)
-    )
-    staged = rp.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid", group_col).orderBy(*order)
-    # persist before the counts action (same boundary-resample hazard
-    # documented in dense_ids_scale)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    boundaries = _sample_order_boundaries(df, key_cols, n)
+    staged = df.withColumn("__bkt", _order_bucket_expr(key_cols, boundaries))
+    w = Window.partitionBy("__bkt", group_col).orderBy(*order)
+    # persist before the counts action: the ranked table is consumed
+    # twice (counts, final join); boundaries are plan literals, so a
+    # recompute is value-safe — the cache only saves the second pass.
     ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
     counts = sorted(
-        (r["__pid"], r[group_col], r["cnt"])
-        for r in ranked.groupBy("__pid", group_col)
+        (r["__bkt"], r[group_col], r["cnt"])
+        for r in ranked.groupBy("__bkt", group_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
@@ -205,20 +212,19 @@ def percent_rank_scale(
     for _, g, cnt in counts:
         totals[g] = totals.get(g, 0) + cnt
     offsets, acc = [], {}
-    for pid, g, cnt in counts:  # sorted by (pid, g): partition order per group
-        offsets.append((pid, g, acc.get(g, 0), totals[g]))
+    for bkt, g, cnt in counts:  # sorted by (bkt, g): bucket order per group
+        offsets.append((bkt, g, acc.get(g, 0), totals[g]))
         acc[g] = acc.get(g, 0) + cnt
-    spark = df.sparkSession
     g_type = df.schema[group_col].dataType.simpleString()
     off_df = spark.createDataFrame(
-        offsets, f"__pid int, {group_col} {g_type}, __off long, __n long"
+        offsets, f"__bkt int, {group_col} {g_type}, __off long, __n long"
     )
     rank = F.col("__off") + F.col("__rn")
     q = F.when(F.col("__n") > 1, (rank - 1).cast("double") / (F.col("__n") - 1).cast("double")).otherwise(0.0)
     return (
-        ranked.join(F.broadcast(off_df), ["__pid", group_col])
+        ranked.join(F.broadcast(off_df), ["__bkt", group_col])
         .withColumn(out_col, q)
-        .drop("__pid", "__rn", "__off", "__n")
+        .drop("__bkt", "__rn", "__off", "__n")
     )
 
 
@@ -234,9 +240,10 @@ def ntile_scale(
     same SQL oracle verifies both (the dense_ids_scale guarantee).
 
     Same two-phase construction as :func:`dense_ids_scale`, kept
-    row-preserving (no distinct): range-partition on the order columns,
-    rank within each partition, collect only per-partition COUNTS,
-    prefix-sum on the driver, broadcast offsets back. The global rank
+    row-preserving (no distinct): bucket on an order-monotone column
+    over the order columns, rank within each bucket, collect only
+    per-bucket COUNTS, prefix-sum on the driver, broadcast offsets
+    back. The global rank
     then maps to the tile with ntile's own split rule — the first
     ``total % n`` tiles hold ``total DIV n + 1`` rows, the rest
     ``total DIV n`` — in exact integer arithmetic
@@ -250,27 +257,28 @@ def ntile_scale(
     exact, it just never sorts the world in one task.
     """
     order = [to_col(c).asc_nulls_first() for c in order_cols]
-    rp = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
-    )
-    staged = rp.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*order)
-    # persist before the counts action (boundary-resample hazard
-    # documented in dense_ids_scale)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # order-monotone bucket column instead of repartitionByRange +
+    # spark_partition_id: one hash exchange (the window's own) instead
+    # of a range exchange + a pid exchange + a hidden sampling pass
+    # (see dense_ids_scale — boundaries steer balance, never values)
+    boundaries = _sample_order_boundaries(df, list(order_cols), n)
+    staged = df.withColumn("__bkt", _order_bucket_expr(list(order_cols), boundaries))
+    w = Window.partitionBy("__bkt").orderBy(*order)
+    # persist before the counts action: consumed twice (counts, final
+    # join); boundaries are plan literals, so a recompute is value-safe
     ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
     counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        (r["__bkt"], r["cnt"])
+        for r in ranked.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
     offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
+    for bkt, cnt in counts:
+        offsets.append((bkt, acc))
         acc += cnt
     total = acc
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__bkt int, __off long")
     rank = F.col("__off") + F.col("__rn")  # 1-based exact global rank
     q, r = divmod(total, n_tiles)
 
@@ -289,9 +297,9 @@ def ntile_scale(
             F.lit(r) + _ceil_div(rank - F.lit(big), q)
         )
     return (
-        ranked.join(F.broadcast(off_df), "__pid")
+        ranked.join(F.broadcast(off_df), "__bkt")
         .withColumn(out_col, tile.cast("long"))
-        .drop("__pid", "__rn", "__off")
+        .drop("__bkt", "__rn", "__off")
     )
 
 
@@ -307,12 +315,12 @@ def prefix_sums_scale(
 
     Same two-phase construction as :func:`dense_ids_scale`:
 
-    1. range-partition on ``order_cols`` (partition i's keys precede
-       partition i+1's), cumulative-sum each ``sum_cols`` within each
-       partition;
-    2. collect only the per-partition TOTALS (one tiny row per
-       partition), prefix-sum them on the driver, broadcast the offsets
-       back: running = offset[pid] + local_running.
+    1. bucket on an order-monotone column over ``order_cols`` (bucket
+       i's keys precede bucket i+1's), cumulative-sum each ``sum_cols``
+       within each bucket;
+    2. collect only the per-bucket TOTALS (one tiny row per bucket),
+       prefix-sum them on the driver, broadcast the offsets back:
+       running = offset[bucket] + local_running.
 
     Integer sums only (the caller guarantees BIGINT columns): integer
     addition is associative, so the result is bit-identical to the
@@ -321,42 +329,42 @@ def prefix_sums_scale(
     the row-frame cumulative to be deterministic.
     """
     order = [to_col(c).asc_nulls_first() for c in order_cols]
-    rp = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
-    )
-    staged = rp.withColumn("__pid", F.spark_partition_id())
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # order-monotone bucket column instead of repartitionByRange +
+    # spark_partition_id — one hash exchange (the window's own) instead
+    # of range + pid exchanges + a hidden sampling pass (dense_ids_scale)
+    boundaries = _sample_order_boundaries(df, list(order_cols), n)
+    staged = df.withColumn("__bkt", _order_bucket_expr(list(order_cols), boundaries))
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__bkt")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = staged
     for c in sum_cols:
         cum = cum.withColumn(f"__cum_{c}", F.sum(to_col(c)).over(w))
-    # persist before the totals action (boundary-resample hazard
-    # documented in dense_ids_scale)
+    # persist before the totals action: consumed twice (totals, final
+    # join); boundaries are plan literals, so a recompute is value-safe
     cum = cum.persist()
     totals = sorted(
-        (r["__pid"], tuple(r[f"t_{c}"] for c in sum_cols))
-        for r in cum.groupBy("__pid")
+        (r["__bkt"], tuple(r[f"t_{c}"] for c in sum_cols))
+        for r in cum.groupBy("__bkt")
         .agg(*[F.sum(to_col(c)).alias(f"t_{c}") for c in sum_cols])
         .collect()
     )
     offsets, acc = [], [0] * len(sum_cols)
-    for pid, ts in totals:
-        offsets.append((pid, *acc))
+    for bkt, ts in totals:
+        offsets.append((bkt, *acc))
         acc = [a + (t or 0) for a, t in zip(acc, ts)]
-    spark = df.sparkSession
-    off_schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    off_schema = "__bkt int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
     off_df = spark.createDataFrame(offsets, off_schema)
-    out = cum.join(F.broadcast(off_df), "__pid")
+    out = cum.join(F.broadcast(off_df), "__bkt")
     for c in sum_cols:
         out = out.withColumn(
             f"cum_{c}", (F.col(f"__off_{c}") + F.col(f"__cum_{c}")).cast("long")
         ).drop(f"__cum_{c}", f"__off_{c}")
-    return out.drop("__pid")
+    return out.drop("__bkt")
 
 
 def topk_per_group_scale(

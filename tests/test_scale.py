@@ -137,7 +137,7 @@ def test_percent_rank_scale_equals_exact_window(spark, sf_dir):
     import re
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "__pid" in spec  # every window is partition-scoped
+        assert "__bkt" in spec  # every window is bucket-scoped
 
 
 def test_percent_rank_scale_single_row_group(spark):
