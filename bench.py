@@ -82,9 +82,13 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # label the jobs (optimization guide §1.5) so UI/eventlog reads
+        # attribute stages to queries; costs nothing in the timed path
+        spark.sparkContext.setJobDescription(f"bench cold: {name}")
         t0 = time.time()
         force(fn(spark, sf_dir))
         per_query[name] = round(time.time() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
 
     total = round(sum(per_query.values()), 3)
 
@@ -99,9 +103,11 @@ def main() -> None:
     per_query_warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        spark.sparkContext.setJobDescription(f"bench warm: {name}")
         t0 = time.time()
         force(fn(spark, sf_dir))
         per_query_warm[name] = round(time.time() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
     warm_total = round(sum(per_query_warm.values()), 3)
 
     # In-artifact regression attribution (VERDICT r9 item 4): any query
