@@ -160,12 +160,31 @@ def registry_plans(spark, sf_dir):
     """simple-explain text for every non-stream registered qname,
     built ONCE for all whole-registry lint tests (several qnames —
     stream_windows_suite, books_e2e — EXECUTE real work on invocation,
-    so each extra full-registry pass is expensive)."""
-    return {
-        qname: explain_str(fn(spark, sf_dir), "simple")
-        for qname, fn in QUERIES.items()
-        if not qname.endswith("_rt")
-    }
+    so each extra full-registry pass is expensive).
+
+    Round 13: constructions that touch no session-global state build
+    through a small driver thread pool (guide §2.6 — their internal
+    scale-op collect jobs overlap instead of serializing); the conf-
+    guarded / suite / stream constructions stay serial so no thread
+    mutates a conf while another thread plans (session confs are
+    global), keeping every dumped plan deterministic."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tests.test_queries_oracle import _is_serial
+
+    names = [q for q in QUERIES if not q.endswith("_rt")]
+    plans = {}
+    for qname in names:
+        if _is_serial(qname):
+            plans[qname] = explain_str(QUERIES[qname](spark, sf_dir), "simple")
+    pooled = [q for q in names if q not in plans]
+
+    def one(qname):
+        return qname, explain_str(QUERIES[qname](spark, sf_dir), "simple")
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        plans.update(dict(pool.map(one, pooled)))
+    return {q: plans[q] for q in names}
 
 
 def test_no_unbounded_global_window_any_plan(registry_plans):

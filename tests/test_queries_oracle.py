@@ -1,12 +1,54 @@
-"""Differential test: every oracle-paired qname must match DuckDB."""
+"""Differential test: every oracle-paired qname must match DuckDB.
+
+Round-13 restructure (VERDICT r12 item 2 — the suite outgrew the
+driver's verify window): coverage is UNCHANGED (every oracle-paired
+qname still runs the identical compare against DuckDB), but the
+independent, conf-untouched queries now run through a small driver
+thread pool (optimization guide §2.6: actions are only sequential
+because the caller calls them sequentially; pooled jobs back-fill the
+idle executors a 2-second query leaves behind). Queries that mutate
+session state (conf guards around bloom/skew/CBO probes), suites that
+re-run other registered callables, and the real-stream qnames stay
+SERIAL and per-test granular — session confs are global, not
+thread-local, so pooling those could flip another thread's plan.
+"""
+
+import inspect
+import re
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
 from books2scrape_etl_spark.queries import ORACLE_SQL, QUERIES
 from tests.oracle import compare, run_oracle
 
+# Session-global state mutators (conf guards, checkpoints, catalog
+# writes) — detected from source so a future conf-guarded query lands
+# in the serial tier automatically. Suites re-run other callables
+# (possibly conf-guarded ones), and *_rt queries execute real streams.
+_STATEFUL = re.compile(
+    r"conf\.set|conf_guard|bloom_pruned_join|skew_join|bucketed"
+    r"|checkpoint|write_bucketed|ANALYZE TABLE|saveAsTable"
+)
 
-@pytest.mark.parametrize("qname", sorted(ORACLE_SQL))
+
+def _is_serial(qname: str) -> bool:
+    if qname.endswith("_rt") or qname.endswith("_suite"):
+        return True
+    try:
+        src = inspect.getsource(QUERIES[qname])
+    except (OSError, TypeError):
+        return True
+    return bool(_STATEFUL.search(src))
+
+
+SERIAL = sorted(q for q in ORACLE_SQL if _is_serial(q))
+POOLED = sorted(q for q in ORACLE_SQL if not _is_serial(q))
+_N_SHARDS = 16
+_POOL_WORKERS = 4
+
+
+@pytest.mark.parametrize("qname", SERIAL)
 def test_oracle_match(spark, sf_dir, qname):
     sdf = QUERIES[qname](spark, sf_dir)
     odf = run_oracle(ORACLE_SQL[qname], sf_dir)
@@ -14,7 +56,34 @@ def test_oracle_match(spark, sf_dir, qname):
     assert not problems, f"{qname}: {problems}"
 
 
-def test_all_queries_return_rows(spark, sf_dir):
+@pytest.mark.parametrize("shard", range(_N_SHARDS))
+def test_oracle_match_pooled(spark, sf_dir, shard):
+    names = POOLED[shard::_N_SHARDS]
+
+    def one(qname):
+        sdf = QUERIES[qname](spark, sf_dir)
+        odf = run_oracle(ORACLE_SQL[qname], sf_dir)
+        return qname, compare(sdf, odf)
+
+    with ThreadPoolExecutor(max_workers=_POOL_WORKERS) as pool:
+        results = list(pool.map(one, names))
+    bad = {q: p for q, p in results if p}
+    assert not bad, bad
+
+
+def test_serial_pooled_partition_covers_registry():
+    """The split is a partition of ORACLE_SQL: nothing double-run,
+    nothing silently dropped from the differential gate."""
+    assert sorted(SERIAL + POOLED) == sorted(ORACLE_SQL)
+    assert not set(SERIAL) & set(POOLED)
+
+
+def test_rows_only_queries_execute(spark, sf_dir):
+    """Execution smoke for the qnames WITHOUT an oracle pairing — the
+    oracle-paired ones already execute (and value-check) in the tests
+    above, so re-running all 299 here was pure duplication (~280 s)."""
     for qname, fn in QUERIES.items():
+        if qname in ORACLE_SQL:
+            continue
         n = fn(spark, sf_dir).count()
         assert n >= 0, qname
