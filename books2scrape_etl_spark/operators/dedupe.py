@@ -210,12 +210,23 @@ def minhash_dedup(
     """
     if bands is None or rows is None:
         bands, rows = solve_bands(threshold, num_hashes)
+    from books2scrape_etl_spark.operators.scale import stage_persist
+
     # persist the shingle staging table: reused by the K hash transforms
     # AND the Jaccard verification; without it the normalize+shingle
-    # expression re-inlines into every consumer
-    sh = docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")).persist()
+    # expression re-inlines into every consumer. Generation-scoped
+    # (VERDICT r12 item 4): a re-execution retires the previous run's
+    # cache entries instead of accumulating them — value-safe, the
+    # whole pipeline is deterministic.
+    sh = stage_persist(
+        "dedupe.minhash.sh",
+        docs.select("doc_id", word_shingles(text_col, shingle_n).alias("shingles")),
+    )
     # persist the bands table: it feeds both sides of the self-join
-    b = minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh).persist()
+    b = stage_persist(
+        "dedupe.minhash.b",
+        minhash_bands(docs, text_col, bands, rows, shingle_n, shingles_df=sh),
+    )
     left = b.alias("l")
     right = b.alias("r")
     cand = (

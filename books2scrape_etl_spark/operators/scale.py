@@ -54,9 +54,14 @@ def stage_persist(slot: str, df: DataFrame) -> DataFrame:
     costs a value-safe recompute."""
     with _STAGE_LOCK:
         prev = _STAGE_GENERATIONS.pop(slot, None)
+        if prev is not None:
+            # retire BEFORE persisting: a re-execution's frame has the
+            # identical plan, so persisting first would hit the old
+            # CacheManager entry ("already cached") and the retirement
+            # would then evict the shared entry — leaving the new frame
+            # silently uncached (double compute downstream)
+            prev.unpersist(False)
         _STAGE_GENERATIONS[slot] = df.persist()
-    if prev is not None:
-        prev.unpersist(False)
     return df
 
 
