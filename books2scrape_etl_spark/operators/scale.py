@@ -60,7 +60,13 @@ def stage_persist(slot: str, df: DataFrame) -> DataFrame:
             # CacheManager entry ("already cached") and the retirement
             # would then evict the shared entry — leaving the new frame
             # silently uncached (double compute downstream)
-            prev.unpersist(False)
+            try:
+                prev.unpersist(False)
+            except Exception:
+                # previous generation belonged to a stopped session
+                # (module state outlives SparkSessions); nothing to
+                # retire — its cache died with the session
+                pass
         _STAGE_GENERATIONS[slot] = df.persist()
     return df
 
